@@ -1,38 +1,639 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(plus the training-data-pipeline operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL over the same parquet views. Hash-parity notes:
+
+- all synthetic hashes are md5-based 60-bit bigints (``md5_long``) so
+  both engines compute identical values;
+- float aggregations use identical left-fold order + identical casts
+  (float→double elementwise), so distances are bit-identical; outputs
+  still round to 6dp as a belt-and-braces measure;
+- ranks/counts are cast to bigint on the Spark side to match DuckDB.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deezymatch_spark.functions import (
+    distinct_char_ngrams,
+    gram_hashes,
+    jaro_winkler_udf,
+    lang_id,
+    lsh_band_keys,
+    md5_long,
+    minhash_signature,
+    normalize_basic,
+    normalize_udf,
+    prefix_ngram_keys,
+    quality_score,
+    simhash,
+    whitespace_token_count,
+    word_token_count,
+)
+from deezymatch_spark.functions.ngrams import WORD_SEP_REGEX
+from deezymatch_spark.operators import (
+    brute_force_topk,
+    candidate_ranker,
+    connected_components,
+    lsh_topk,
+    minhash_dup_pairs,
+    train_val_test_split,
+)
+from deezymatch_spark.sources import extract_title, generate_pages
+
+# ---------------------------------------------------------------- helpers
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_norm(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", "text", normalize_basic(F.col("text")).alias("t")
+    )
+
+
+# DuckDB fragments reused across oracles
+_D_MD5 = "cast(('0x'||substr(md5({x}),1,15)) as bigint)"
+_D_NORM = "lower(trim(text))"
+# duckdb string literal of the word-separator regex (single quotes doubled)
+_D_WORD_RE = WORD_SEP_REGEX.replace("'", "''")
+
+
+def _d_grams(expr: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(length({expr})-{n - 1},0)),"
+        f" i -> substr({expr}, i, {n}))"
+    )
+
+
+def _d_minhash(grams: str, k: int) -> str:
+    h = _D_MD5.format(x="cast(s as varchar)||':'||gr")
+    return (
+        f"list_transform(generate_series(0,{k - 1}), s -> "
+        f"list_min(list_transform({grams}, gr -> {h})))"
+    )
+
+
+def _d_sq_l2(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1,{dim}), "
+        f"i -> ({a}[i]::double - {b}[i]::double) * ({a}[i]::double - {b}[i]::double))), "
+        f"(x,y) -> x+y)"
+    )
+
+
+def _d_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1,{dim}), "
+        f"i -> {a}[i]::double * {b}[i]::double)), (x,y) -> x+y)"
+    )
+
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------- queries
+
+
+def q_normalize_basic(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", normalize_basic(F.col("text")).alias("text_norm")
+    )
+
+
+def q_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        word_token_count(F.col("text")).cast("long").alias("n_word_tokens"),
+    )
+
+
+def q_ngram_blocking_keys(spark, sf):
+    return _docs_norm(spark, sf).select(
+        "doc_id", F.explode(prefix_ngram_keys(F.col("t"), 3, 12)).alias("block_key")
+    )
+
+
+def q_block_sizes(spark, sf):
+    return (
+        q_ngram_blocking_keys(spark, sf)
+        .groupBy("block_key")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_minhash_signature(spark, sf):
+    d = _docs_norm(spark, sf).where(F.length("t") >= 4)
+    sig = minhash_signature(distinct_char_ngrams(F.col("t"), 4), 8)
+    return d.select("doc_id", F.posexplode(sig).alias("h_idx", "h_val")).select(
+        "doc_id", F.col("h_idx").cast("long").alias("h_idx"), "h_val"
+    )
+
+
+def q_lsh_band_keys(spark, sf):
+    d = _docs_norm(spark, sf).where(F.length("t") >= 4)
+    sig = minhash_signature(distinct_char_ngrams(F.col("t"), 4), 8)
+    return d.select("doc_id", F.explode(lsh_band_keys(sig, 4, 2)).alias("band_key"))
+
+
+def q_simhash(spark, sf):
+    d = _docs_norm(spark, sf).where(F.length("t") >= 4)
+    return d.select(
+        "doc_id",
+        simhash(gram_hashes(distinct_char_ngrams(F.col("t"), 4)), 32).alias("simhash"),
+    )
+
+
+def q_exact_dup_groups(spark, sf):
+    d = _docs_norm(spark, sf)
+    return (
+        d.select("doc_id", md5_long(F.col("t")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def q_sq_l2_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return brute_force_topk(
+        q, emb, k=5, metric="sq_l2", q_id="vec_id", q_vec="embedding",
+        c_id="vec_id", c_vec="embedding",
+    ).select(
+        "query_id",
+        "candidate_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return brute_force_topk(
+        q, emb, k=5, metric="cosine", q_id="vec_id", q_vec="embedding",
+        c_id="vec_id", c_vec="embedding",
+    ).select(
+        "query_id",
+        "candidate_id",
+        F.col("rank").cast("long").alias("rank"),
+        # +0.0 normalizes IEEE -0.0 (self-match cosine dist rounds to -0)
+        (F.round("dist", 6) + F.lit(0.0)).alias("dist"),
+    )
+
+
+RANKER_THRESHOLD = 20.0
+RANKER_K = 5
+RANKER_LENGTH_DIFF = 120
+
+
+def _ranker_tables(spark, sf):
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    base = d.join(e, d.doc_id == e.vec_id).select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("key"),
+        normalize_basic(F.col("text")).alias("key_norm"),
+        F.col("embedding").alias("vec"),
+    )
+    return base.where(F.col("id") < 20), base
+
+
+def q_ranker_topk(spark, sf):
+    q, c = _ranker_tables(spark, sf)
+    r = candidate_ranker(
+        q, c,
+        ranking_metric="faiss",
+        selection_threshold=RANKER_THRESHOLD,
+        num_candidates=RANKER_K,
+        search_size=10,
+        length_diff=RANKER_LENGTH_DIFF,
+    )
+    return r.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "candidate_id",
+        F.round("faiss_dist", 6).alias("faiss_dist"),
+    )
+
+
+def q_ranker_full(spark, sf):
+    """Rows-only: full ranker output incl num_all_searches compat col."""
+    q, c = _ranker_tables(spark, sf)
+    return candidate_ranker(
+        q, c,
+        ranking_metric="faiss",
+        selection_threshold=RANKER_THRESHOLD,
+        num_candidates=RANKER_K,
+        search_size=10,
+        length_diff=RANKER_LENGTH_DIFF,
+        calc_cosine=True,
+    )
+
+
+def q_cc_components(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        & (F.col("a.label") == F.col("b.label")),
+    ).select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    return connected_components(edges).select("node", "component")
+
+
+def q_train_split(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return train_val_test_split(
+        e, label_col="label", order_col="vec_id",
+        train_prop=0.7, val_prop=0.15, test_prop=0.15,
+    ).select("vec_id", "split")
+
+
+def q_class_counts(spark, sf):
+    return (
+        _t(spark, sf, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_vocab_build(spark, sf):
+    d = _docs_norm(spark, sf)
+    chars = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.col("t"), ""), lambda c: c != "")).alias(
+            "pos", "token"
+        ),
+    )
+    firsts = chars.groupBy("token").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_seen"),
+        F.count("*").cast("long").alias("tok_count"),
+    )
+    w = Window.orderBy(F.col("first_seen"))
+    return firsts.select(
+        "token",
+        (F.row_number().over(w) + 1).cast("long").alias("tok_id"),
+        "tok_count",
+    )
+
+
+def q_lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_quality_score(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_jaro_winkler_pairs(spark, sf):
+    d = _docs_norm(spark, sf).select(
+        "doc_id", F.substring("t", 1, 20).alias("p")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(jaro_winkler_udf(F.col("a.p"), F.col("b.p")), 6).alias("jw"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).cast("long").alias("lev"),
+        )
+    )
+
+
+NEARDUP_LIMIT = 200
+
+
+def q_minhash_dup_pairs(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < NEARDUP_LIMIT)
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(mutated)
+    return minhash_dup_pairs(
+        both, "doc_id", "text",
+        gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
+    ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+# ------- rows-only (non-SQL-expressible: NFKD parity, LSH ANN, pipeline)
+
+
+def q_normalize_nfkd(spark, sf):
+    """Full normalizeString parity (NFKD→lower→strip) — Arrow UDF; DuckDB
+    has no NFKD builtin, so rows-only."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", normalize_udf(F.col("text")).alias("text_norm")
+    )
+
+
+def q_lsh_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(
+        q, emb, k=5, dim=EMB_DIM, num_planes=6, num_tables=2, metric="cosine",
+        q_id="vec_id", q_vec="embedding", c_id="vec_id", c_vec="embedding",
+    ).select(
+        "query_id", "candidate_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q_pipeline_entity_clusters(spark, sf):
+    """End-to-end ER slice on the synthetic pages table: extract →
+    normalize (NFKD UDF) → block → JW score → threshold → transitive
+    closure. Rows-only (generator-based input)."""
+    from deezymatch_spark.operators.blocking import candidate_pairs
+
+    n = 2000 if "0.01" in sf else 500
+    pages = generate_pages(spark, n, with_truth=True)
+    docs = pages.select(
+        F.xxhash64("url").alias("id"),
+        F.col("url"),
+        extract_title(F.col("html")).alias("title"),
+    ).withColumn("title_norm", normalize_udf(F.col("title")))
+    pairs = candidate_pairs(docs, "id", "title_norm", max_block_size=100, ngram=3)
+    t = docs.select(F.col("id"), F.col("title_norm"))
+    scored = (
+        pairs.join(t.select(F.col("id").alias("id1"), F.col("title_norm").alias("t1")), "id1")
+        .join(t.select(F.col("id").alias("id2"), F.col("title_norm").alias("t2")), "id2")
+        .withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
+        .where(F.col("jw") >= 0.82)
+    )
+    comps = connected_components(
+        scored.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    return docs.join(comps, docs.id == comps.node, "left").select(
+        "url",
+        "title",
+        F.coalesce(F.col("component"), F.col("id")).alias("entity_id"),
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the end-to-end entity-resolution pipeline at sf0.001."""
+    return q_pipeline_entity_clusters(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "normalize_basic": q_normalize_basic,
+        "token_stats": q_token_stats,
+        "ngram_blocking_keys": q_ngram_blocking_keys,
+        "block_sizes": q_block_sizes,
+        "minhash_signature": q_minhash_signature,
+        "lsh_band_keys": q_lsh_band_keys,
+        "simhash": q_simhash,
+        "exact_dup_groups": q_exact_dup_groups,
+        "sq_l2_topk": q_sq_l2_topk,
+        "cosine_topk": q_cosine_topk,
+        "ranker_topk": q_ranker_topk,
+        "ranker_full": q_ranker_full,
+        "cc_components": q_cc_components,
+        "train_split": q_train_split,
+        "class_counts": q_class_counts,
+        "vocab_build": q_vocab_build,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "events_hourly": q_events_hourly,
+        "normalize_nfkd": q_normalize_nfkd,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "pipeline_entity_clusters": q_pipeline_entity_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g12 = _d_grams("substr(t,1,12)", 3)
+    g4 = _d_grams("t", 4)
+    sq = _d_sq_l2("qv", "cv", EMB_DIM)
+    dotqc = _d_dot("qv", "cv", EMB_DIM)
+    dotqq = _d_dot("qv", "qv", EMB_DIM)
+    dotcc = _d_dot("cv", "cv", EMB_DIM)
+
+    simhash_terms = " + ".join(
+        f"case when (list_sum(list_transform(gh, x -> case when (x & {1 << b}) != 0 "
+        f"then 1 else -1 end)) > 0) then cast({1 << b} as bigint) else 0 end"
+        for b in range(32)
+    )
+
+    markers = {
+        "en": "('the','and','of','to','is')",
+        "de": "('der','die','und','das','ist')",
+        "es": "('el','la','los','que','es')",
+        "fr": "('le','la','les','est','une')",
+    }
+    hits = ", ".join(
+        f"len(list_filter(toks, x -> x in {m})) as h_{c}" for c, m in markers.items()
+    )
+    stop = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be')"
+    # note: '' inside the SQL single-quoted literal unescapes to one '
+    punct_re = "[!\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+
+    norm_docs = f"(select doc_id, {_D_NORM} as t from documents)"
+
+    return {
+        "normalize_basic": f"select doc_id, {_D_NORM} as text_norm from documents",
+        "token_stats": f"""
+            select doc_id,
+              len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) as n_ws_tokens,
+              len(list_filter(string_split_regex(text, '{_D_WORD_RE}'), x -> x != '')) as n_word_tokens
+            from documents""",
+        "ngram_blocking_keys": f"""
+            select doc_id, unnest(list_distinct({g12})) as block_key
+            from {norm_docs}""",
+        "block_sizes": f"""
+            with k as (select doc_id, unnest(list_distinct({g12})) as block_key
+                       from {norm_docs})
+            select block_key, count(*) as n_docs from k group by 1 having count(*) > 1""",
+        "minhash_signature": f"""
+            with d as (select doc_id, list_distinct({g4}) as grams
+                       from {norm_docs} where length(t) >= 4)
+            select doc_id, s as h_idx,
+              list_min(list_transform(grams, gr -> {_D_MD5.format(x="cast(s as varchar)||':'||gr")})) as h_val
+            from d, generate_series(0,7) as t(s)""",
+        "lsh_band_keys": f"""
+            with d as (select doc_id, {_d_minhash(f"list_distinct({g4})", 8)} as mh
+                       from {norm_docs} where length(t) >= 4)
+            select doc_id,
+              cast(b as varchar)||':'||md5(list_aggregate(list_transform(mh[b*2+1:b*2+2],
+                v -> cast(v as varchar)), 'string_agg', ',')) as band_key
+            from d, generate_series(0,3) as t(b)""",
+        "simhash": f"""
+            with d as (select doc_id,
+              list_transform(list_distinct({g4}), gr -> {_D_MD5.format(x="gr")}) as gh
+              from {norm_docs} where length(t) >= 4)
+            select doc_id, ({simhash_terms}) as simhash from d""",
+        "exact_dup_groups": f"""
+            select {_D_MD5.format(x="lower(trim(text))")} as fingerprint,
+                   count(*) as n_dups, min(doc_id) as keep_id
+            from documents group by 1""",
+        "sq_l2_topk": f"""
+            with q as (select vec_id qid, embedding qv from embeddings where vec_id < 20),
+            c as (select vec_id cid, embedding cv from embeddings),
+            s as (select qid, cid, {sq} as dist from q, c),
+            r as (select qid as query_id, cid as candidate_id, dist,
+                    row_number() over (partition by qid order by dist asc, cid asc) as rank
+                  from s)
+            select query_id, candidate_id, rank, round(dist, 6) as dist
+            from r where rank <= 5""",
+        "cosine_topk": f"""
+            with q as (select vec_id qid, embedding qv from embeddings where vec_id < 20),
+            c as (select vec_id cid, embedding cv from embeddings),
+            s as (select qid, cid, 1.0 - ({dotqc}) / (sqrt({dotqq}) * sqrt({dotcc})) as dist from q, c),
+            r as (select qid as query_id, cid as candidate_id, dist,
+                    row_number() over (partition by qid order by dist asc, cid asc) as rank
+                  from s)
+            select query_id, candidate_id, rank, round(dist, 6) + 0.0 as dist
+            from r where rank <= 5""",
+        "ranker_topk": f"""
+            with base as (select doc_id as id, text as key, lower(trim(text)) as key_norm,
+                                 embedding as vec
+                          from documents join embeddings on doc_id = vec_id),
+            q as (select id qid, key qk, key_norm qn, vec qv from base where id < 20),
+            c as (select id cid, key ck, key_norm cn, vec cv from base),
+            s as (select qid, cid, ck, {_d_sq_l2("qv", "cv", EMB_DIM)} as dist, qn, cn
+                  from q, c),
+            flt as (select * from s
+                    where abs(length(qn) - length(cn)) <= {RANKER_LENGTH_DIFF}
+                      and dist <= {RANKER_THRESHOLD}),
+            dd as (select *, row_number() over (partition by qid, ck order by dist asc, cid asc) as dn
+                   from flt),
+            rk as (select qid as query_id, cid as candidate_id, dist,
+                     row_number() over (partition by qid order by dist asc, cid asc) as rank
+                   from dd where dn = 1)
+            select query_id, rank, candidate_id, round(dist, 6) as faiss_dist
+            from rk where rank <= {RANKER_K}""",
+        "cc_components": """
+            with r as (select vec_id, label,
+                         vec_id - row_number() over (partition by label order by vec_id) as isl
+                       from embeddings),
+            g as (select vec_id, min(vec_id) over (partition by label, isl) as component,
+                         count(*) over (partition by label, isl) as n
+                  from r)
+            select vec_id as node, component from g where n > 1""",
+        "train_split": """
+            with c as (select label, count(*) as n_total from embeddings group by label),
+            p as (select vec_id, e.label,
+                    row_number() over (partition by e.label order by vec_id) - 1 as pos,
+                    floor(0.7 * n_total) as nt, floor(0.15 * n_total) as nv,
+                    floor(0.15 * n_total) as nx
+                  from embeddings e join c using(label))
+            select vec_id,
+              case when pos >= nt + nv and pos <= nt + nv + nx then 'test'
+                   when pos >= nt and pos < nt + nv then 'val'
+                   else 'train' end as split
+            from p""",
+        "class_counts": "select label, count(*) as n from embeddings group by label",
+        "vocab_build": f"""
+            with ix as (select doc_id, t, unnest(generate_series(1, length(t))) as i
+                        from {norm_docs}),
+            ch as (select doc_id, i - 1 as pos, substr(t, i, 1) as token from ix),
+            f as (select token, min(doc_id * 1000000 + pos) as first_seen,
+                         count(*) as tok_count
+                  from ch group by token)
+            select token,
+              row_number() over (order by first_seen) + 1 as tok_id,
+              tok_count
+            from f""",
+        "lang_id": f"""
+            with t as (select doc_id,
+              list_filter(string_split_regex(lower(trim(text)), '{_D_WORD_RE}'), x -> x != '') as toks
+              from documents),
+            h as (select doc_id, {hits} from t)
+            select doc_id,
+              case when greatest(h_en, h_de, h_es, h_fr) = 0 then 'und'
+                   when h_fr = greatest(h_en, h_de, h_es, h_fr) then 'fr'
+                   when h_es = greatest(h_en, h_de, h_es, h_fr) then 'es'
+                   when h_en = greatest(h_en, h_de, h_es, h_fr) then 'en'
+                   else 'de' end as pred_lang
+            from h""",
+        "quality_score": f"""
+            with t as (select doc_id, text,
+              list_filter(string_split_regex(lower(trim(text)), '{_D_WORD_RE}'), x -> x != '') as toks
+              from documents),
+            m as (select doc_id,
+              length(text) as n,
+              (length(text) - length(regexp_replace(text, '{punct_re}', '', 'g')))::double
+                / greatest(length(text), 1) as pr,
+              len(list_filter(toks, x -> x in {stop}))::double / greatest(len(toks), 1) as sw
+              from t)
+            select doc_id,
+              round(cast(0.4 * (case when n between 50 and 20000 then 1.0 else 0.0 end)
+                  + 0.4 * (case when sw between 0.05 and 0.6 then 1.0 else 0.0 end)
+                  + 0.2 * (case when pr <= 0.2 then 1.0 else 0.0 end) as double), 2) as quality
+            from m""",
+        "jaro_winkler_pairs": """
+            with d as (select doc_id, substr(lower(trim(text)), 1, 20) as p from documents)
+            select a.doc_id as id1, b.doc_id as id2,
+              round(jaro_winkler_similarity(a.p, b.p), 6) as jw,
+              levenshtein(a.p, b.p) as lev
+            from d a join d b on b.doc_id = a.doc_id + 1""",
+        "minhash_dup_pairs": f"""
+            with src as (
+              select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
+              union all
+              select doc_id + 1000000, text || ' near duplicate suffix'
+              from documents where doc_id < {NEARDUP_LIMIT}),
+            base as (select doc_id as id,
+                       list_distinct({_d_grams("lower(trim(text))", 5)}) as grams
+                     from src),
+            nz as (select * from base where len(grams) > 0),
+            sig as (select id, grams, {_d_minhash("grams", 8)} as mh from nz),
+            keys as (select id, cast(b as varchar)||':'||md5(list_aggregate(
+                       list_transform(mh[b*2+1:b*2+2], v -> cast(v as varchar)),
+                       'string_agg', ',')) as bk
+                     from sig, generate_series(0,3) as t(b)),
+            good as (select bk from keys group by bk having count(*) <= 500),
+            k2 as (select keys.* from keys join good using(bk)),
+            cand as (select distinct a.id as id1, b.id as id2
+                     from k2 a join k2 b using(bk) where a.id < b.id),
+            j as (select id1, id2,
+                    len(list_intersect(g1.grams, g2.grams))::double
+                      / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))) as jaccard
+                  from cand
+                  join nz g1 on g1.id = cand.id1
+                  join nz g2 on g2.id = cand.id2)
+            select id1, id2, round(jaccard, 6) as jaccard
+            from j where jaccard >= 0.3""",
+        "events_hourly": """
+            select date_trunc('hour', ts) as hour, event_type,
+                   count(*) as n, round(sum(value), 6) as sum_value
+            from events group by 1, 2""",
+    }

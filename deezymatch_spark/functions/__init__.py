@@ -1,0 +1,34 @@
+"""Function layer: Catalyst expressions (hot path) + Arrow UDFs (parity path)."""
+
+from .distances import cosine_dist, cosine_sim, dot, l2_norm, sq_l2
+from .hashing import gram_hashes, lsh_band_keys, md5_long, minhash_signature, simhash
+from .ngrams import (
+    char_ngrams,
+    distinct_char_ngrams,
+    normalize_basic,
+    prefix_ngram_keys,
+    word_tokens,
+)
+from .textstats import (
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    whitespace_token_count,
+    word_token_count,
+)
+from .udfs import jaro_winkler, jaro_winkler_udf, make_encode_udf, normalize_udf, tokenize_udf
+
+__all__ = [
+    "cosine_dist", "cosine_sim", "dot", "l2_norm", "sq_l2",
+    "gram_hashes", "lsh_band_keys", "md5_long", "minhash_signature", "simhash",
+    "char_ngrams", "distinct_char_ngrams", "normalize_basic",
+    "prefix_ngram_keys", "word_tokens",
+    "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
+    "rolling_fingerprint", "stopword_ratio", "whitespace_token_count",
+    "word_token_count",
+    "jaro_winkler", "jaro_winkler_udf", "make_encode_udf", "normalize_udf",
+    "tokenize_udf",
+]

@@ -1,0 +1,115 @@
+"""Training-data-pipeline text analysis — pure Catalyst expressions.
+
+No reference counterpart (DeezyMatch is a matcher, not a corpus
+pipeline); these are the first-class corpus operators a 100 TB
+training-data build needs: token counting, quality scoring,
+language-ID heuristic, document fingerprinting. All JVM-side and
+DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+from .ngrams import normalize_basic, word_tokens
+
+__all__ = [
+    "whitespace_token_count",
+    "word_token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "rolling_fingerprint",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+# tiny marker-word lists per language for the n-gram/heuristic
+# language-ID. Deterministic, data-independent.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "est", "une"],
+}
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token proxy: punctuation-aware word tokens."""
+    return F.size(word_tokens(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = word_tokens(normalize_basic(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality: length band + low punctuation + healthy
+    stopword rate. Weights are arbitrary-but-fixed; the point is the
+    shape (pure expression, pushdown-friendly filter input)."""
+    n = F.length(col)
+    length_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * length_ok + 0.4 * sw_ok + 0.2 * punct_ok, 2)
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language-ID: language with the most marker hits;
+    'und' when nothing matches. Deterministic tie-break by language
+    code order (greatest over (hits, reversed-code) struct)."""
+    toks = word_tokens(normalize_basic(col))
+
+    def hits_for(markers):
+        # single-arg lambda: pyspark derives Catalyst lambda arity from
+        # the Python signature, so markers must be closure-captured
+        return F.size(F.filter(toks, lambda tk: tk.isin(markers)))
+
+    scored = [
+        F.struct(hits_for(markers).alias("hits"), F.lit(code).alias("code"))
+        for code, markers in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Exact-dup fingerprint: 60-bit hash of normalized text."""
+    return md5_long(normalize_basic(col))
+
+
+def rolling_fingerprint(col: Column, window: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style shingle fingerprint: hash every ``window``-char
+    shingle of the normalized text, keep the ``keep`` smallest hashes
+    (sorted). Robust to small edits; array<bigint> output."""
+    s = normalize_basic(col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (window - 1), F.lit(1))),
+        lambda i: F.substring(s, i, window),
+    )
+    return F.slice(F.array_sort(F.transform(shingles, lambda g: md5_long(g))), 1, keep)

@@ -1,0 +1,147 @@
+"""Blocking: candidate-pair generation without the O(N²) cross join.
+
+No reference counterpart — DeezyMatch scores every query against every
+candidate via an exhaustive faiss index (candidateRanker.py:361-364),
+which cannot scale to 10^12 docs. Per BASELINE.json north_rule we block
+on char-ngram keys and MinHash/LSH bands over normalized strings, with
+explicit skew handling:
+
+- **hot-key cap**: blocking keys whose frequency exceeds
+  ``max_block_size`` are dropped (standard LSH practice — a key shared
+  by half the corpus has no discriminative power and would create a
+  quadratic pair explosion in one reducer).
+- **salting**: for keys below the cap but above ``salt_threshold``, the
+  candidate side is split into ``n_salt`` sub-blocks and the query side
+  replicated, turning one hot reducer into ``n_salt`` even ones.
+
+Everything is plain DataFrame ops: Catalyst handles pushdown; the only
+shuffles are the explode→join on block_key, sized via
+``spark.sql.shuffle.partitions`` by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import lsh_band_keys, minhash_signature
+from ..functions.ngrams import distinct_char_ngrams, prefix_ngram_keys
+
+__all__ = ["blocking_keys", "block_join", "candidate_pairs"]
+
+
+def blocking_keys(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    ngram: int = 3,
+    prefix_len: int = 12,
+    use_minhash: bool = True,
+    minhash_grams: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """→ DataFrame[id, block_key] (exploded, distinct).
+
+    Two key families, unioned:
+    - ``g:<ngram>`` — char ngrams of the normalized key's prefix
+      (high recall for short strings / titles);
+    - LSH band keys over a MinHash signature of all char ngrams
+      (recall for longer strings under edits).
+    """
+    s = F.col(key_col)
+    gram_keys = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(prefix_ngram_keys(s, ngram, prefix_len)).alias("block_key"),
+    ).withColumn("block_key", F.concat(F.lit("g:"), F.col("block_key")))
+
+    if not use_minhash:
+        return gram_keys.distinct()
+
+    rows_per_band = num_hashes // bands
+    mh_keys = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            lsh_band_keys(
+                minhash_signature(distinct_char_ngrams(s, minhash_grams), num_hashes),
+                bands,
+                rows_per_band,
+            )
+        ).alias("block_key"),
+    ).withColumn("block_key", F.concat(F.lit("m:"), F.col("block_key")))
+    return gram_keys.unionByName(mh_keys).distinct()
+
+
+def _cap_hot_keys(keys: DataFrame, max_block_size: int) -> DataFrame:
+    """Drop keys with more members than ``max_block_size``.
+
+    One extra aggregation on (block_key) — cheap relative to the pair
+    explosion it prevents. At 100 TB this is the difference between a
+    bounded shuffle and a single reducer receiving the 'the'-ngram."""
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
+    return (
+        keys.join(sizes.where(F.col("_bs") <= max_block_size).select("block_key"), "block_key")
+    )
+
+
+def block_join(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    *,
+    max_block_size: int = 200,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Join two (id, block_key) sides → distinct candidate pairs
+    DataFrame[id1, id2].
+
+    Hot keys are capped on the union of both sides; surviving keys are
+    salted: the right side gets a deterministic salt pmod(hash(id),
+    n_salt) folded into the join key, the left side is exploded across
+    all salts. This bounds the largest reducer at
+    max_block_size/n_salt rows of build side per key.
+    """
+    both = left_keys.select("block_key").unionByName(right_keys.select("block_key"))
+    sizes = both.groupBy("block_key").agg(F.count("*").alias("_bs"))
+    good = sizes.where(F.col("_bs") <= max_block_size).select("block_key")
+    lk = left_keys.join(good, "block_key")
+    rk = right_keys.join(good, "block_key")
+
+    rk = rk.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
+    )
+    lk = lk.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    pairs = (
+        lk.alias("l")
+        .join(
+            rk.alias("r"),
+            (F.col("l.block_key") == F.col("r.block_key"))
+            & (F.col("l._salt") == F.col("r._salt")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+    return pairs
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    max_block_size: int = 200,
+    n_salt: int = 8,
+    **key_kwargs,
+) -> DataFrame:
+    """Self-join dedup-style pairs (id1 < id2) within one table."""
+    keys = blocking_keys(df, id_col, key_col, **key_kwargs)
+    keys = _cap_hot_keys(keys, max_block_size)
+    pairs = (
+        keys.alias("a")
+        .join(keys.alias("b"), "block_key")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    return pairs

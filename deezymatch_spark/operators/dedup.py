@@ -1,0 +1,129 @@
+"""Corpus deduplication operators (training-data pipeline).
+
+No reference counterpart; first-class operators for the 100 TB corpus
+use-case. Exact dedup is a hash-groupBy; near-dup is MinHash/LSH
+bucketing → ngram-Jaccard verification → connected components →
+keep cluster representative. SimHash gives an alternative cheap
+near-dup key for short texts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import lsh_band_keys, md5_long, minhash_signature
+from ..functions.ngrams import distinct_char_ngrams, normalize_basic
+from ..functions.textstats import doc_fingerprint
+from .cc import connected_components
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "ngram_jaccard",
+    "minhash_dup_pairs",
+    "near_dedup",
+]
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ [fingerprint, n_dups, keep_id] for groups with >1 member.
+    Map-side-combinable aggregation — one shuffle on the fingerprint."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per normalized-text fingerprint."""
+    w = Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ngram_jaccard(a, b) -> F.Column:
+    """Jaccard |A∩B| / |A∪B| over two array<string> gram-set columns
+    (arrays assumed distinct). Accepts Columns or column names."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_block_size: int = 500,
+) -> DataFrame:
+    """→ [id1, id2, jaccard] near-duplicate pairs (id1 < id2).
+
+    shingle → minhash → LSH band bucket-join → exact ngram-Jaccard
+    verification. The bucket join shuffles (id, band_key) rows only;
+    gram arrays are re-derived per side after the candidate join so the
+    wide arrays never travel through the bucket shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    norm = normalize_basic(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        distinct_char_ngrams(norm, gram).alias("grams"),
+    ).where(F.size("grams") > 0)
+
+    keys = base.select(
+        "id",
+        F.explode(
+            lsh_band_keys(
+                minhash_signature(F.col("grams"), num_hashes), bands, rows_per_band
+            )
+        ).alias("bk"),
+    )
+    sizes = keys.groupBy("bk").agg(F.count("*").alias("_bs"))
+    keys = keys.join(sizes.where(F.col("_bs") <= max_block_size).select("bk"), "bk")
+
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), "bk")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    verified = (
+        cand.join(base.select(F.col("id").alias("id1"), F.col("grams").alias("_g1")), "id1")
+        .join(base.select(F.col("id").alias("id2"), F.col("grams").alias("_g2")), "id2")
+        .withColumn("jaccard", ngram_jaccard("_g1", "_g2"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return verified
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Full near-dedup: LSH pairs → transitive closure → keep the min-id
+    doc per duplicate cluster. → df minus non-representative dups."""
+    pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
+    comps = connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
