@@ -1,0 +1,165 @@
+"""Arrow-batched scorer UDFs — Torch-free inference on executors.
+
+Replaces the reference's DataLoader-batch inference
+(rnn_networks.py:525-720) with Scalar-Iterator pandas UDFs: the model
+artifact is loaded ONCE per executor python worker (module-level
+cache), each Arrow batch is tokenized → encoded → padded → run through
+the numpy siamese net (model/numpy_rnn.py). No per-row Python crosses
+the JVM boundary; padding lives inside the batch (never a table
+column), honoring SURVEY.md §1.1.
+
+Artifacts: a directory with ``model.npz`` (weights), ``vocab.json``
+(token→index), ``config.json`` (tokenizer + maxlen + head coefs).
+Ship with ``spark-submit --files`` and resolve via SparkFiles, or any
+shared filesystem path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+from ..text import encode_tokens, pad_sequence, string_split
+from .numpy_rnn import SiameseRNN
+
+__all__ = ["load_artifacts", "make_encode_vec_udf", "make_pair_scorer_udf", "save_artifacts"]
+
+_CACHE: dict[str, tuple[SiameseRNN, dict[str, int], dict]] = {}
+
+
+def save_artifacts(path: str, model: SiameseRNN, tok2index: dict[str, int], config: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    model.save(os.path.join(path, "model.npz"))
+    with open(os.path.join(path, "vocab.json"), "w") as f:
+        json.dump(tok2index, f)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f)
+
+
+def load_artifacts(path: str) -> tuple[SiameseRNN, dict[str, int], dict]:
+    if path not in _CACHE:
+        model = SiameseRNN.load(os.path.join(path, "model.npz"))
+        with open(os.path.join(path, "vocab.json")) as f:
+            vocab = json.load(f)
+        with open(os.path.join(path, "config.json")) as f:
+            config = json.load(f)
+        _CACHE[path] = (model, vocab, config)
+    return _CACHE[path]
+
+
+def _encode_batch(s: pd.Series, vocab, cfg) -> tuple[np.ndarray, np.ndarray]:
+    maxlen = cfg.get("max_seq_len", 120)
+    tok_cfg = cfg.get("tokenize", ["char"])
+    rows, lens = [], []
+    for x in s:
+        toks = string_split(
+            x if x is not None else "",
+            tokenize=tok_cfg,
+            min_gram=cfg.get("min_gram", 1),
+            max_gram=cfg.get("max_gram", 3),
+            token_sep=cfg.get("token_sep", "default"),
+            prefix_suffix=cfg.get("prefix_suffix", ["|", "|"]),
+        )
+        idx = encode_tokens(toks, vocab)
+        padded, n = pad_sequence(idx, maxlen)
+        rows.append(padded)
+        lens.append(max(n, 1))  # packed seqs need len >= 1; all-pad row is inert
+    return np.stack(rows), np.asarray(lens, dtype=np.int64)
+
+
+def make_encode_vec_udf(artifact_path: str):
+    """(key_norm) → array<float> of dim 2H (fwd‖bwd h_n) — N5."""
+
+    @pandas_udf(ArrayType(FloatType()))
+    def encode_vec(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model, vocab, cfg = load_artifacts(artifact_path)
+        for s in batches:
+            X, lens = _encode_batch(s, vocab, cfg)
+            vecs = model.encode(X, lens)
+            yield pd.Series(list(np.asarray(vecs, dtype=np.float32)))
+
+    return encode_vec
+
+
+def make_pair_scorer_udf(artifact_path: str, mode: str = "combined"):
+    """(s1_norm, s2_norm) → double match probability p1.
+
+    mode='siamese': pure siamese classify p1 (reference conf metric,
+    D3 / rnn_networks.py:390-392).
+    mode='combined': logistic head over [gru_cosine, jaro_winkler,
+    normalized levenshtein, 3gram jaccard] (north_rule scorer) —
+    head coefficients from config['head'] (train via api.train).
+    """
+
+    @pandas_udf(DoubleType())
+    def score_pairs(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        model, vocab, cfg = load_artifacts(artifact_path)
+        for s1, s2 in it:
+            X1, l1 = _encode_batch(s1, vocab, cfg)
+            X2, l2 = _encode_batch(s2, vocab, cfg)
+            if mode == "siamese":
+                _, p1, _ = model.classify(X1, l1, X2, l2)
+                yield pd.Series(np.asarray(p1, dtype=np.float64))
+                continue
+            feats = _pair_features(model, X1, l1, X2, l2, s1, s2)
+            coefs = np.asarray(cfg["head"]["coef"], dtype=np.float64)
+            b = float(cfg["head"]["intercept"])
+            z = feats @ coefs + b
+            yield pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    return score_pairs
+
+
+def _pair_features(model, X1, l1, X2, l2, s1: pd.Series, s2: pd.Series) -> np.ndarray:
+    """[gru_cos, jw, 1 - lev/maxlen, jaccard3] per pair."""
+    from ..functions.udfs import jaro_winkler
+
+    v1 = model.encode(X1, l1)
+    v2 = model.encode(X2, l2)
+    num = (v1 * v2).sum(axis=1)
+    den = np.maximum(np.linalg.norm(v1, axis=1) * np.linalg.norm(v2, axis=1), 1e-10)
+    cos = num / den
+    n = len(s1)
+    jw = np.empty(n)
+    levn = np.empty(n)
+    jac = np.empty(n)
+    a_list = s1.tolist()
+    b_list = s2.tolist()
+    for i in range(n):
+        a = a_list[i] or ""
+        b = b_list[i] or ""
+        jw[i] = jaro_winkler(a, b)
+        levn[i] = 1.0 - _levenshtein(a, b) / max(len(a), len(b), 1)
+        ga = {a[j : j + 3] for j in range(max(len(a) - 2, 0))}
+        gb = {b[j : j + 3] for j in range(max(len(b) - 2, 0))}
+        jac[i] = len(ga & gb) / max(len(ga | gb), 1)
+    return np.column_stack([cos, jw, levn, jac])
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def pair_features_batch(model, vocab, cfg, s1: pd.Series, s2: pd.Series) -> np.ndarray:
+    """Driver/test helper: featurize pairs exactly as the UDF does."""
+    X1, l1 = _encode_batch(s1, vocab, cfg)
+    X2, l2 = _encode_batch(s2, vocab, cfg)
+    return _pair_features(model, X1, l1, X2, l2, s1, s2)

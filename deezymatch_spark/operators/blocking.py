@@ -39,7 +39,7 @@ def blocking_keys(
     use_minhash: bool = True,
     minhash_grams: int = 3,
     num_hashes: int = 8,
-    bands: int = 4,
+    bands: int = 8,
 ) -> DataFrame:
     """→ DataFrame[id, block_key] (exploded, distinct).
 

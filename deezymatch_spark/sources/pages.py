@@ -48,12 +48,16 @@ _EPOCH = 1609459200
 
 
 def _base_name(cluster_id: int) -> str:
-    n = cluster_id
+    # hash-derived syllables so distinct clusters get distinct-looking
+    # names (sequential division would give every small cluster the
+    # same suffix syllables, making cross-cluster negatives
+    # near-identical strings — an unlearnable matching task)
+    n = (cluster_id * 2654435761 + 97) % (1 << 32)
     parts = []
-    for _ in range(3):
+    for _ in range(4):
         parts.append(_SYLLABLES[n % len(_SYLLABLES)])
         n //= len(_SYLLABLES)
-    return (parts[0] + parts[1] + " " + parts[2]).title()
+    return (parts[0] + parts[1] + " " + parts[2] + parts[3]).title()
 
 
 def _variant(base: str, v: int) -> str:

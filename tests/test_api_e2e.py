@@ -1,0 +1,149 @@
+"""End-to-end API test: train → inference(vect) → candidate_ranker →
+pairwise F1 on labeled pairs at a fixed blocking key (the BASELINE.json
+acceptance metric, F1 ≥ 0.99)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deezymatch_spark import api
+from deezymatch_spark.model.scorer_udf import make_pair_scorer_udf
+from deezymatch_spark.operators import candidate_pairs
+from deezymatch_spark.sources.pages import _base_name, _variant
+
+
+def _name_table(spark, c0, c1, variants=4):
+    rows, truth = [], {}
+    rid = 0
+    for c in range(c0, c1):
+        for v in range(variants):
+            rows.append((rid, _variant(_base_name(c), v)))
+            truth[rid] = c
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, key string").withColumn(
+        "key_norm", F.lower(F.trim("key"))
+    )
+    return df, truth
+
+
+def _blocked_labeled_pairs(spark, c0, c1):
+    """Training distribution = the deployment distribution: pairs that
+    share a blocking key, labeled from generator ground truth. Random
+    negatives make the head collapse on blocked (hard) negatives."""
+    docs, truth = _name_table(spark, c0, c1)
+    pairs = candidate_pairs(docs, "id", "key_norm", max_block_size=2000)
+    t = docs.select("id", "key")
+    out = (
+        pairs.join(t.select(F.col("id").alias("id1"), F.col("key").alias("s1")), "id1")
+        .join(t.select(F.col("id").alias("id2"), F.col("key").alias("s2")), "id2")
+        .collect()
+    )
+    return [(i, r.s1, r.s2, truth[r.id1] == truth[r.id2]) for i, r in enumerate(out)]
+
+
+@pytest.fixture(scope="module")
+def artifact(spark, tmp_path_factory):
+    rows = _blocked_labeled_pairs(spark, 300, 420)
+    df = spark.createDataFrame(
+        rows, "original_index long, s1 string, s2 string, label boolean"
+    )
+    path = api.train(
+        spark, df, "toy_model", str(tmp_path_factory.mktemp("models")),
+        hidden_dim=24, embedding_dim=16, n_layers=1,
+    )
+    return path
+
+
+def test_train_produces_artifacts(artifact):
+    import os
+    assert os.path.exists(f"{artifact}/model.npz")
+    assert os.path.exists(f"{artifact}/vocab.json")
+    assert os.path.exists(f"{artifact}/config.json")
+
+
+def test_inference_vect_and_test_modes(spark, artifact):
+    df = spark.createDataFrame([("London",), ("Paris  ",)], ["s1"])
+    vec = api.inference(spark, artifact, df, inference_mode="vect")
+    rows = vec.collect()
+    assert rows[0].key_norm == "london"
+    assert len(rows[0].vec) == 48  # 2 * hidden(24)
+
+    pairs = spark.createDataFrame(
+        [("London", "london", True), ("London", "Beijing", False)],
+        "s1 string, s2 string, label boolean",
+    )
+    preds = api.inference(spark, artifact, pairs, inference_mode="test").collect()
+    assert abs((1 - preds[0].p1) - preds[0].p0) < 1e-9
+    assert preds[0].prediction in (0, 1)
+
+
+def test_combined_scorer_f1_on_blocked_pairs(spark, artifact):
+    """The acceptance gate: pairwise F1 ≥ 0.99 on labeled pairs drawn
+    from the SAME blocking keys the pipeline uses."""
+    n_clusters, variants = 150, 4
+    rows = []
+    rid = 0
+    truth = {}
+    for c in range(n_clusters):
+        for v in range(variants):
+            name = _variant(_base_name(c), v)
+            rows.append((rid, name))
+            truth[rid] = c
+            rid += 1
+    docs = spark.createDataFrame(rows, "id long, key string")
+    docs = docs.withColumn("key_norm", F.lower(F.trim("key")))
+    pairs = candidate_pairs(docs, "id", "key_norm", max_block_size=2000)
+    t = docs.select("id", "key_norm")
+    scored = (
+        pairs.join(t.select(F.col("id").alias("id1"), F.col("key_norm").alias("a")), "id1")
+        .join(t.select(F.col("id").alias("id2"), F.col("key_norm").alias("b")), "id2")
+        .withColumn("p", make_pair_scorer_udf(artifact, mode="combined")(F.col("a"), F.col("b")))
+        .collect()
+    )
+    tp = fp = fn = 0
+    for r in scored:
+        is_match = truth[r.id1] == truth[r.id2]
+        pred = r.p >= 0.5
+        if pred and is_match:
+            tp += 1
+        elif pred and not is_match:
+            fp += 1
+        elif not pred and is_match:
+            fn += 1
+    # fn must also count true pairs missed by blocking entirely
+    want = {(a, b) for a in truth for b in truth if a < b and truth[a] == truth[b]}
+    got_pairs = {(r.id1, r.id2) for r in scored}
+    fn += len(want - got_pairs)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} (p={prec:.4f}, r={rec:.4f}, tp={tp}, fp={fp}, fn={fn})"
+
+
+def test_candidate_ranker_with_conf_metric(spark, artifact):
+    """conf metric ranks by dl_match DESC and dl_match equals the
+    siamese scorer's p1 (the encoder is untrained here, so absolute
+    ordering is arbitrary — consistency is the contract)."""
+    from deezymatch_spark.model.scorer_udf import make_encode_vec_udf
+
+    names = ["london", "londen", "paris", "berlin"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, key string"
+    ).withColumn("key_norm", F.lower(F.trim("key")))
+    enc = make_encode_vec_udf(artifact)
+    t = df.withColumn("vec", enc(F.col("key_norm")))
+    out = api.candidate_ranker(
+        spark, t, t, artifact_path=artifact,
+        ranking_metric="conf", selection_threshold=0.0, num_candidates=3,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == len(names)
+    scorer = make_pair_scorer_udf(artifact, mode="siamese")
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert len(rs) <= 3
+        matches = [r.dl_match for r in rs]
+        assert matches == sorted(matches, reverse=True)
+        assert all(m >= 0.0 for m in matches)

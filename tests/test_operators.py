@@ -1,0 +1,147 @@
+"""Operator tests: connected components fixtures (FIXTURES.md F6),
+split parity vs a pandas reimplementation of the reference arithmetic,
+blocking recall, dedup behavior."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deezymatch_spark.operators import (
+    candidate_pairs,
+    connected_components,
+    exact_dedup,
+    minhash_dup_pairs,
+    near_dedup,
+    train_val_test_split,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_cc_chain(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_two_cliques_merged_by_bridge(spark):
+    cliq1 = [(i, j) for i in range(1, 4) for j in range(i + 1, 4)]
+    cliq2 = [(i, j) for i in range(10, 13) for j in range(i + 1, 13)]
+    got = _cc(spark, cliq1 + cliq2)
+    assert {got[i] for i in (1, 2, 3)} == {1}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    got2 = _cc(spark, cliq1 + cliq2 + [(3, 10)])
+    assert {got2[i] for i in (1, 2, 3, 10, 11, 12)} == {1}
+
+
+def test_cc_star_and_duplicates_and_directions(spark):
+    got = _cc(spark, [(7, 1), (7, 2), (2, 7), (7, 3), (7, 3), (5, 5)])
+    # self-loop (5,5) dropped; star collapses to min=1
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1}
+
+
+def test_cc_long_path_converges(spark):
+    n = 64
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def _pandas_reference_split(labels, train_prop, val_prop, test_prop, n_train_examples=None):
+    """Direct port of the reference's inclusive .loc arithmetic
+    (data_processing.py:84-113) for property testing."""
+    df = pd.DataFrame({"label": labels})
+    df["split"] = "not_assigned"
+    df["original_index"] = df.index
+    out = []
+    for label in set(df["label"]):
+        rows = df.loc[df["label"] == label].copy()
+        rows.reset_index(inplace=True)
+        n_total = len(rows)
+        if n_train_examples:
+            n_train = int(int(n_train_examples) / 2)
+        else:
+            n_train = int(train_prop * n_total)
+        n_val = int(val_prop * n_total)
+        n_test = int(test_prop * n_total)
+        rows.loc[:n_train, "split"] = "train"
+        rows.loc[n_train : n_train + n_val, "split"] = "val"
+        rows.loc[n_train + n_val : n_train + n_val + n_test, "split"] = "test"
+        if n_train_examples is None:
+            rows.loc[rows["split"] == "not_assigned", "split"] = "train"
+        out.append(rows)
+    r = pd.concat(out).set_index("original_index").sort_index()
+    return r["split"].tolist()
+
+
+@pytest.mark.parametrize("n,props,nte", [
+    (20, (0.7, 0.15, 0.15), None),
+    (23, (0.5, 0.25, 0.25), None),
+    (9, (0.34, 0.33, 0.33), None),
+    (40, (0.7, 0.15, 0.15), 10),
+    (7, (0.7, 0.0, 0.15), None),  # n_val = 0 boundary
+])
+def test_split_matches_reference_arithmetic(spark, n, props, nte):
+    rng = np.random.Generator(np.random.Philox(42))
+    labels = [bool(x) for x in rng.integers(0, 2, n)]
+    expected = _pandas_reference_split(labels, *props, n_train_examples=nte)
+    df = spark.createDataFrame(
+        [(i, labels[i]) for i in range(n)], "original_index long, label boolean"
+    )
+    got = train_val_test_split(
+        df, label_col="label", order_col="original_index",
+        train_prop=props[0], val_prop=props[1], test_prop=props[2],
+        n_train_examples=nte,
+    )
+    got_list = [r.split for r in got.orderBy("original_index").collect()]
+    assert got_list == expected
+
+
+def test_blocking_recall_on_variants(spark):
+    """Every within-cluster pair of name variants must share ≥1 blocking
+    key (recall=1 on edit-distance-≤2 variants at toy scale)."""
+    from deezymatch_spark.sources.pages import _base_name, _variant
+
+    rows = []
+    rid = 0
+    for cid in range(30):
+        base = _base_name(cid)
+        for v in range(4):
+            rows.append((rid, cid, _variant(base, v).lower()))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, cluster long, key string")
+    pairs = candidate_pairs(df, "id", "key", max_block_size=1000)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    want = {
+        (a, b)
+        for a in range(len(rows))
+        for b in range(len(rows))
+        if a < b and rows[a][1] == rows[b][1]
+    }
+    missing = want - got
+    assert not missing, f"blocking missed {len(missing)} true pairs: {sorted(missing)[:5]}"
+
+
+def test_exact_and_near_dedup(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog again & again!!"),  # near dup
+        (3, "completely different content about spark query engines"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    kept = exact_dedup(df, "doc_id", "text")
+    assert {r.doc_id for r in kept.collect()} == {0, 2, 3}
+
+    pairs = minhash_dup_pairs(
+        df, "doc_id", "text", gram=4, num_hashes=16, bands=8, jaccard_threshold=0.5
+    )
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and not any(3 in p for p in got)
+
+    survivors = near_dedup(df, "doc_id", "text", gram=4, num_hashes=16,
+                           bands=8, jaccard_threshold=0.5)
+    assert {r.doc_id for r in survivors.collect()} == {0, 3}
