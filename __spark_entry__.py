@@ -375,31 +375,10 @@ def q_pipeline_entity_clusters(spark, sf):
     """End-to-end ER slice on the synthetic pages table: extract →
     normalize (NFKD UDF) → block → JW score → threshold → transitive
     closure. Rows-only (generator-based input)."""
-    from deezymatch_spark.operators.blocking import candidate_pairs
+    from deezymatch_spark.pipeline import run_er_pipeline
 
     n = 2000 if "0.01" in sf else 500
-    pages = generate_pages(spark, n, with_truth=True)
-    docs = pages.select(
-        F.xxhash64("url").alias("id"),
-        F.col("url"),
-        extract_title(F.col("html")).alias("title"),
-    ).withColumn("title_norm", normalize_udf(F.col("title")))
-    pairs = candidate_pairs(docs, "id", "title_norm", max_block_size=100, ngram=3)
-    t = docs.select(F.col("id"), F.col("title_norm"))
-    scored = (
-        pairs.join(t.select(F.col("id").alias("id1"), F.col("title_norm").alias("t1")), "id1")
-        .join(t.select(F.col("id").alias("id2"), F.col("title_norm").alias("t2")), "id2")
-        .withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
-        .where(F.col("jw") >= 0.82)
-    )
-    comps = connected_components(
-        scored.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-    )
-    return docs.join(comps, docs.id == comps.node, "left").select(
-        "url",
-        "title",
-        F.coalesce(F.col("component"), F.col("id")).alias("entity_id"),
-    )
+    return run_er_pipeline(spark, n_pages=n)
 
 
 # ---------------------------------------------------------------- contract

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Extra knobs (for the north-rule two-parallelism scaling evidence —
+BASELINE.json: docs/sec efficiency >= 0.8 from N to 4N cores):
+
+    python bench.py --cores 8          # override parallelism
+    python bench.py --only pipeline    # run a subset
+
+The flagship ``pipeline`` query is the full entity-resolution job
+(generate pages -> extract -> NFKD normalize -> ngram+MinHash blocking,
+salted -> JW/Lev scoring -> threshold -> connected components) over a
+deterministically synthesized pages table sized by sf; its docs/sec is
+reported as ``pages_per_sec``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    sp = shuffle_partitions or max(cores * 2, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .appName("deezymatch-spark-bench")
+        .getOrCreate()
+    )
+
+
+def sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.1
+
+
+def pages_for_sf(sf: float) -> int:
+    # 500 pages at sf0.001 (matches driver documents size), 10x per step
+    return max(500, int(500_000 * sf))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--pages", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = build_spark(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_of(args.sf_dir)
+    n_pages = args.pages or pages_for_sf(sf)
+
+    import __spark_entry__ as E
+
+    # Headline subset: the operators that dominate a real ER run.
+    names = [
+        "pipeline_entity_clusters",
+        "ranker_topk",
+        "minhash_dup_pairs",
+        "lsh_band_keys",
+        "sq_l2_topk",
+        "simhash",
+        "events_hourly",
+    ]
+    qs = E.queries()
+    if args.only:
+        names = [n for n in names if n in args.only] or args.only
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    for name in names:
+        t0 = time.time()
+        if name == "pipeline_entity_clusters":
+            from deezymatch_spark.pipeline import run_er_pipeline
+
+            n_rows = run_er_pipeline(spark, n_pages=n_pages).count()
+            el = time.time() - t0
+            extras["pages"] = n_pages
+            extras["pages_per_sec"] = round(n_pages / el, 1)
+            extras["pipeline_out_rows"] = n_rows
+        else:
+            fn = qs[name]
+            n_rows = fn(spark, args.sf_dir).count()
+            el = time.time() - t0
+        timings[name] = round(el, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": args.cores,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

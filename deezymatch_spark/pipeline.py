@@ -1,0 +1,170 @@
+"""End-to-end entity-resolution pipeline (SURVEY.md §7 target
+architecture) — the engine's flagship job, per BASELINE.json
+north_rule:
+
+    pages(url, warc_ts, html, text, lang)
+      S0 extract + NFKD-normalize titles           [byte-identical gate]
+      S1 blocking: char-ngram + MinHash/LSH keys, hot-key cap + salting
+      S2 pair scoring: vectorized JW/Lev (+ optional GRU siamese p1)
+      S3 match filter (threshold)
+      S4 transitive closure: large-star/small-star connected components
+
+Every stage is a pure DataFrame -> DataFrame function. When ``work_dir``
+is given, each stage persists its output as Parquet and appends
+per-partition lineage metrics ``(stage, partition_id, rows, ts)`` to
+``<work_dir>/metrics`` — a killed job re-run with the same work_dir
+resumes from the last completed stage (checkpoint/lineage requirement
+of the north rule; stands in for Iceberg tables, which need a runtime
+jar this sandbox doesn't ship — the write pattern is identical).
+
+The reference has no pipeline like this (it is a single-process library,
+DeezyMatch/candidateRanker.py:355-578 scores exhaustively); the staging,
+blocking, salting and CC come from the north_rule spec + published
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.udfs import jaro_winkler_udf, normalize_udf
+from .operators.blocking import candidate_pairs
+from .operators.cc import connected_components
+from .sources.pages import extract_title, generate_pages
+
+__all__ = ["run_er_pipeline", "er_stages", "stage_metrics"]
+
+
+def stage_metrics(df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition lineage row set for the metrics table (A6)."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"))
+        .select(
+            F.lit(stage).alias("stage"),
+            "partition_id",
+            "rows",
+            F.lit(int(time.time())).alias("ts"),
+        )
+    )
+
+
+def _stage_path(work_dir: str, name: str) -> str:
+    return os.path.join(work_dir, f"stage_{name}")
+
+
+def _is_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _materialize(
+    spark: SparkSession, df: DataFrame, work_dir: str | None, name: str
+) -> DataFrame:
+    """Checkpoint a stage: write Parquet + metrics, read back (cuts
+    lineage, enables resume). No-op pass-through without work_dir."""
+    if work_dir is None:
+        return df
+    path = _stage_path(work_dir, name)
+    if not _is_done(path):
+        df.write.mode("overwrite").parquet(path)
+        stage_metrics(spark.read.parquet(path), name).write.mode("append").parquet(
+            os.path.join(work_dir, "metrics")
+        )
+    return spark.read.parquet(path)
+
+
+def er_stages(
+    pages: DataFrame,
+    *,
+    jw_threshold: float = 0.82,
+    max_block_size: int = 100,
+    ngram: int = 3,
+    pair_scorer=None,
+    conf_threshold: float = 0.5,
+    spark: SparkSession | None = None,
+    work_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Build (and optionally checkpoint) all stages; returns each stage's
+    DataFrame keyed by name. ``pages`` needs the input_hint 5 columns."""
+    spark = spark or pages.sparkSession
+
+    # S0 — extract + normalize. html is pruned immediately after the
+    # regexp extract; downstream stages carry only (id, url, title*).
+    docs = pages.select(
+        F.xxhash64("url").alias("id"),
+        F.col("url"),
+        extract_title(F.col("html")).alias("title"),
+    ).withColumn("title_norm", normalize_udf(F.col("title")))
+    docs = _materialize(spark, docs, work_dir, "s0_extract")
+
+    # S1 — blocking (salted, hot-key capped) -> candidate pairs
+    pairs = candidate_pairs(
+        docs, "id", "title_norm", max_block_size=max_block_size, ngram=ngram
+    )
+    pairs = _materialize(spark, pairs, work_dir, "s1_pairs")
+
+    # S2 — pairwise scoring. Lookup sides are the (small relative to
+    # pairs) docs projection; Catalyst/AQE broadcasts when it fits.
+    t = docs.select("id", "title_norm")
+    scored = (
+        pairs.join(
+            t.select(F.col("id").alias("id1"), F.col("title_norm").alias("t1")), "id1"
+        )
+        .join(t.select(F.col("id").alias("id2"), F.col("title_norm").alias("t2")), "id2")
+        .withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
+    )
+    if pair_scorer is not None:
+        scored = scored.withColumn("p1", pair_scorer(F.col("t1"), F.col("t2")))
+    scored = _materialize(spark, scored, work_dir, "s2_scored")
+
+    # S3 — match filter
+    matches = scored.where(F.col("jw") >= jw_threshold)
+    if pair_scorer is not None:
+        matches = matches.where(F.col("p1") >= conf_threshold)
+    matches = _materialize(
+        spark, matches.select("id1", "id2", "jw"), work_dir, "s3_matches"
+    )
+
+    # S4 — transitive closure
+    comps = connected_components(
+        matches.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    comps = _materialize(spark, comps, work_dir, "s4_components")
+
+    clusters = docs.join(comps, docs.id == comps.node, "left").select(
+        "url",
+        "title",
+        F.coalesce(F.col("component"), F.col("id")).alias("entity_id"),
+    )
+    clusters = _materialize(spark, clusters, work_dir, "s5_clusters")
+
+    return {
+        "docs": docs,
+        "pairs": pairs,
+        "scored": scored,
+        "matches": matches,
+        "components": comps,
+        "clusters": clusters,
+    }
+
+
+def run_er_pipeline(
+    spark: SparkSession,
+    *,
+    n_pages: int | None = None,
+    pages: DataFrame | None = None,
+    work_dir: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Flagship job -> DataFrame[url, title, entity_id]. Provide either
+    a real ``pages`` table or ``n_pages`` for the deterministic
+    synthetic source."""
+    if pages is None:
+        if n_pages is None:
+            raise ValueError("need pages or n_pages")
+        pages = generate_pages(spark, n_pages, with_truth=False)
+    return er_stages(pages, spark=spark, work_dir=work_dir, **kwargs)["clusters"]
