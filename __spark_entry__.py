@@ -26,7 +26,8 @@ from deezymatch_spark.functions import (
     lang_id,
     lsh_band_keys,
     md5_long,
-    minhash_signature,
+    minhash_base,
+    minhash_from_base,
     normalize_basic,
     normalize_udf,
     prefix_ngram_keys,
@@ -56,8 +57,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs_norm(spark, sf):
-    return _t(spark, sf, "documents").select(
-        "doc_id", "text", normalize_basic(F.col("text")).alias("t")
+    # the testdata parquet is a single row group, so the scan can't
+    # split — spread the (tiny) table across cores before the
+    # expression-heavy ngram/hash work; at production scale the scan
+    # itself is many-partitioned and this repartition is not needed
+    return (
+        _t(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text", normalize_basic(F.col("text")).alias("t"))
     )
 
 
@@ -75,11 +82,20 @@ def _d_grams(expr: str, n: int) -> str:
     )
 
 
+_MH_P = 1073741789  # = deezymatch_spark.functions.hashing.MINHASH_P
+
+
 def _d_minhash(grams: str, k: int) -> str:
-    h = _D_MD5.format(x="cast(s as varchar)||':'||gr")
+    """DuckDB replica of minhash_signature(base_hash='md5'): one md5
+    per gram, k affine mixes mod the shared 30-bit prime."""
+    h = _D_MD5.format(x="gr")
+    mix = (
+        f"((((s*2654435761+1) % {_MH_P}) * (({h}) % {_MH_P})"
+        f" + ((s*40503+17) % {_MH_P})) % {_MH_P})"
+    )
     return (
         f"list_transform(generate_series(0,{k - 1}), s -> "
-        f"list_min(list_transform({grams}, gr -> {h})))"
+        f"list_min(list_transform({grams}, gr -> {mix})))"
     )
 
 
@@ -135,16 +151,21 @@ def q_block_sizes(spark, sf):
 
 def q_minhash_signature(spark, sf):
     d = _docs_norm(spark, sf).where(F.length("t") >= 4)
-    sig = minhash_signature(distinct_char_ngrams(F.col("t"), 4), 8)
-    return d.select("doc_id", F.posexplode(sig).alias("h_idx", "h_val")).select(
-        "doc_id", F.col("h_idx").cast("long").alias("h_idx"), "h_val"
+    return (
+        d.select("doc_id", minhash_base(distinct_char_ngrams(F.col("t"), 4)).alias("bh"))
+        .select("doc_id", minhash_from_base(F.col("bh"), 8).alias("sig"))
+        .select("doc_id", F.posexplode("sig").alias("h_idx", "h_val"))
+        .select("doc_id", F.col("h_idx").cast("long").alias("h_idx"), "h_val")
     )
 
 
 def q_lsh_band_keys(spark, sf):
     d = _docs_norm(spark, sf).where(F.length("t") >= 4)
-    sig = minhash_signature(distinct_char_ngrams(F.col("t"), 4), 8)
-    return d.select("doc_id", F.explode(lsh_band_keys(sig, 4, 2)).alias("band_key"))
+    return (
+        d.select("doc_id", minhash_base(distinct_char_ngrams(F.col("t"), 4)).alias("bh"))
+        .select("doc_id", minhash_from_base(F.col("bh"), 8).alias("sig"))
+        .select("doc_id", F.explode(lsh_band_keys(F.col("sig"), 4, 2)).alias("band_key"))
+    )
 
 
 def q_simhash(spark, sf):
@@ -329,7 +350,11 @@ def q_minhash_dup_pairs(spark, sf):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
     )
-    both = d.select("doc_id", "text").unionByName(mutated)
+    both = (
+        d.select("doc_id", "text")
+        .unionByName(mutated)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     return minhash_dup_pairs(
         both, "doc_id", "text",
         gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
@@ -465,7 +490,9 @@ def oracle_sql() -> dict[str, str]:
             with d as (select doc_id, list_distinct({g4}) as grams
                        from {norm_docs} where length(t) >= 4)
             select doc_id, s as h_idx,
-              list_min(list_transform(grams, gr -> {_D_MD5.format(x="cast(s as varchar)||':'||gr")})) as h_val
+              list_min(list_transform(grams, gr ->
+                (((s*2654435761+1) % {_MH_P}) * (({_D_MD5.format(x="gr")}) % {_MH_P})
+                 + ((s*40503+17) % {_MH_P})) % {_MH_P})) as h_val
             from d, generate_series(0,7) as t(s)""",
         "lsh_band_keys": f"""
             with d as (select doc_id, {_d_minhash(f"list_distinct({g4})", 8)} as mh

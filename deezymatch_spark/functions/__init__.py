@@ -1,7 +1,15 @@
 """Function layer: Catalyst expressions (hot path) + Arrow UDFs (parity path)."""
 
 from .distances import cosine_dist, cosine_sim, dot, l2_norm, sq_l2
-from .hashing import gram_hashes, lsh_band_keys, md5_long, minhash_signature, simhash
+from .hashing import (
+    gram_hashes,
+    lsh_band_keys,
+    md5_long,
+    minhash_base,
+    minhash_from_base,
+    minhash_signature,
+    simhash,
+)
 from .ngrams import (
     char_ngrams,
     distinct_char_ngrams,
@@ -23,7 +31,8 @@ from .udfs import jaro_winkler, jaro_winkler_udf, make_encode_udf, normalize_udf
 
 __all__ = [
     "cosine_dist", "cosine_sim", "dot", "l2_norm", "sq_l2",
-    "gram_hashes", "lsh_band_keys", "md5_long", "minhash_signature", "simhash",
+    "gram_hashes", "lsh_band_keys", "md5_long", "minhash_base",
+    "minhash_from_base", "minhash_signature", "simhash",
     "char_ngrams", "distinct_char_ngrams", "normalize_basic",
     "prefix_ngram_keys", "word_tokens",
     "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",

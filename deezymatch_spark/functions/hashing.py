@@ -35,17 +35,64 @@ def md5_long(col: Column, salt: Column | str | int | None = None) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signature(grams: Column, num_hashes: int = 16) -> Column:
-    """array<bigint> MinHash signature over a gram array.
+# 30-bit prime modulus for the affine MinHash mixes: every intermediate
+# product stays < 2^60, safe for BIGINT in both Spark (ANSI) and DuckDB
+# (which raises on int64 overflow rather than wrapping).
+MINHASH_P = 1073741789
+MINHASH_A_MUL = 2654435761  # Knuth multiplicative constants, seed-derived
+MINHASH_B_MUL = 40503
 
-    k salted hash functions; signature[i] = min over grams of
-    h_i(gram). Empty gram arrays yield nulls (callers filter them).
-    Pure expression — evaluated inside whole-stage codegen.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(grams, lambda g: md5_long(g, s))),
-    )
+
+def minhash_base(grams: Column, *, base_hash: str = "md5") -> Column:
+    """array<bigint> of per-gram base hashes reduced mod MINHASH_P —
+    the expensive part of a MinHash signature, computed once per gram.
+
+    base_hash='md5': oracle-reproducible (DuckDB computes identical
+    values). base_hash='xxhash64': the production path — one JVM xxHash
+    per gram, no hex/conv round-trip (not oracle-checkable)."""
+    p = F.lit(MINHASH_P).cast("long")
+    if base_hash == "md5":
+        return F.transform(grams, lambda g: F.pmod(md5_long(g), p))
+    if base_hash == "xxhash64":
+        return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), p))
+    raise ValueError(base_hash)
+
+
+def minhash_from_base(bh: Column, num_hashes: int = 16) -> Column:
+    """array<bigint> MinHash signature from a precomputed base-hash
+    array: slot i = min over grams of the affine mix
+    ``(a_i * h + b_i) mod P`` — k cheap integer passes over one hashed
+    array instead of k independent salted hashes.
+
+    Plan shape matters: the k slots are Python-unrolled into
+    ``F.array(slot_0 … slot_{k-1})`` (num_hashes is a plan-time
+    constant) instead of ``transform(sequence(0,k-1), …)``. The
+    unrolled form makes k separate references to ``bh``, which stops
+    CollapseProject from inlining a non-cheap ``bh`` expression into
+    every slot (a silent k× re-evaluation of all the gram hashes);
+    callers should still stage ``bh`` through its own select."""
+    p = F.lit(MINHASH_P).cast("long")
+
+    def mix(a: int, b: int):
+        # single-arg lambda (pyspark derives HOF arity from signature)
+        return lambda x: F.pmod(F.lit(a).cast("long") * x + b, p)
+
+    slots = []
+    for s in range(num_hashes):
+        a = (s * MINHASH_A_MUL + 1) % MINHASH_P
+        b = (s * MINHASH_B_MUL + 17) % MINHASH_P
+        slots.append(F.array_min(F.transform(bh, mix(a, b))))
+    return F.array(*slots)
+
+
+def minhash_signature(
+    grams: Column, num_hashes: int = 16, *, base_hash: str = "md5"
+) -> Column:
+    """One-expression convenience combining :func:`minhash_base` +
+    :func:`minhash_from_base`. Fine for one-shot use; for plans that
+    also band the signature, stage the two through separate selects
+    (see minhash_from_base docstring)."""
+    return minhash_from_base(minhash_base(grams, base_hash=base_hash), num_hashes)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -55,21 +102,25 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     keys from different bands can never collide. Join queries to
     candidates on ``explode(lsh_band_keys(...))``.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.concat(
-            b.cast("string"),
-            F.lit(":"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                )
-            ),
-        ),
+    # Python-unrolled for the same CollapseProject reason as
+    # minhash_from_base: `bands` references to `signature` keep the
+    # signature expression from being inlined (and re-evaluated) per band.
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
     )
 
 

@@ -23,8 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import lsh_band_keys, minhash_signature
-from ..functions.ngrams import distinct_char_ngrams, prefix_ngram_keys
+from ..functions.hashing import lsh_band_keys, minhash_base, minhash_from_base
+from ..functions.ngrams import distinct_char_ngrams, prefix_ngram_keys, word_tokens
 
 __all__ = ["blocking_keys", "block_join", "candidate_pairs"]
 
@@ -37,17 +37,21 @@ def blocking_keys(
     ngram: int = 3,
     prefix_len: int = 12,
     use_minhash: bool = True,
+    use_words: bool = True,
     minhash_grams: int = 3,
     num_hashes: int = 8,
-    bands: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
-    """→ DataFrame[id, block_key] (exploded, distinct).
+    """→ DataFrame[id, block_key] (exploded, per-doc distinct).
 
-    Two key families, unioned:
+    Three key families, unioned:
     - ``g:<ngram>`` — char ngrams of the normalized key's prefix
       (high recall for short strings / titles);
-    - LSH band keys over a MinHash signature of all char ngrams
-      (recall for longer strings under edits).
+    - ``m:`` LSH band keys over a MinHash signature of all char ngrams
+      (recall for longer strings under edits);
+    - ``w:<word>`` — exact word tokens: an edit corrupts one word, the
+      remaining words still collide exactly. Recovers the recall that
+      hot-key capping of common ngrams costs at scale.
     """
     s = F.col(key_col)
     gram_keys = df.select(
@@ -55,21 +59,41 @@ def blocking_keys(
         F.explode(prefix_ngram_keys(s, ngram, prefix_len)).alias("block_key"),
     ).withColumn("block_key", F.concat(F.lit("g:"), F.col("block_key")))
 
+    out = gram_keys
+    if use_words:
+        word_keys = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_tokens(s))).alias("block_key"),
+        ).withColumn("block_key", F.concat(F.lit("w:"), F.col("block_key")))
+        out = out.unionByName(word_keys)
+
     if not use_minhash:
-        return gram_keys.distinct()
+        return out
 
     rows_per_band = num_hashes // bands
-    mh_keys = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            lsh_band_keys(
-                minhash_signature(distinct_char_ngrams(s, minhash_grams), num_hashes),
-                bands,
-                rows_per_band,
-            )
-        ).alias("block_key"),
-    ).withColumn("block_key", F.concat(F.lit("m:"), F.col("block_key")))
-    return gram_keys.unionByName(mh_keys).distinct()
+    # staged projections (base hashes → signature → band keys) so each
+    # array is evaluated once; xxhash64 base = production path, no md5
+    mh_keys = (
+        df.select(
+            F.col(id_col).alias("id"),
+            minhash_base(
+                distinct_char_ngrams(s, minhash_grams), base_hash="xxhash64"
+            ).alias("_bh"),
+        )
+        .select("id", minhash_from_base(F.col("_bh"), num_hashes).alias("_mh"))
+        .select(
+            "id",
+            F.explode(lsh_band_keys(F.col("_mh"), bands, rows_per_band)).alias(
+                "block_key"
+            ),
+        )
+        .withColumn("block_key", F.concat(F.lit("m:"), F.col("block_key")))
+    )
+    # no distinct: every family is per-doc distinct by construction
+    # (array_distinct grams/words; band index prefixes) and the
+    # 'g:'/'w:'/'m:' prefixes keep them disjoint — skipping it saves a
+    # full shuffle
+    return out.unionByName(mh_keys)
 
 
 def _cap_hot_keys(keys: DataFrame, max_block_size: int) -> DataFrame:

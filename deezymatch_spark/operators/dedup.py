@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.hashing import lsh_band_keys, md5_long, minhash_signature
+from ..functions.hashing import lsh_band_keys, md5_long, minhash_base, minhash_from_base
 from ..functions.ngrams import distinct_char_ngrams, normalize_basic
 from ..functions.textstats import doc_fingerprint
 from .cc import connected_components
@@ -83,13 +83,15 @@ def minhash_dup_pairs(
         distinct_char_ngrams(norm, gram).alias("grams"),
     ).where(F.size("grams") > 0)
 
-    keys = base.select(
-        "id",
-        F.explode(
-            lsh_band_keys(
-                minhash_signature(F.col("grams"), num_hashes), bands, rows_per_band
-            )
-        ).alias("bk"),
+    # staged projections: base-hash array, signature, band keys each
+    # evaluated exactly once (see minhash_from_base docstring)
+    keys = (
+        base.select("id", minhash_base(F.col("grams")).alias("_bh"))
+        .select("id", minhash_from_base(F.col("_bh"), num_hashes).alias("_mh"))
+        .select(
+            "id",
+            F.explode(lsh_band_keys(F.col("_mh"), bands, rows_per_band)).alias("bk"),
+        )
     )
     sizes = keys.groupBy("bk").agg(F.count("*").alias("_bs"))
     keys = keys.join(sizes.where(F.col("_bs") <= max_block_size).select("bk"), "bk")

@@ -81,6 +81,7 @@ def er_stages(
     pages: DataFrame,
     *,
     jw_threshold: float = 0.82,
+    lev_max: int = 2,
     max_block_size: int = 100,
     ngram: int = 3,
     pair_scorer=None,
@@ -109,12 +110,17 @@ def er_stages(
 
     # S2 — pairwise scoring. Lookup sides are the (small relative to
     # pairs) docs projection; Catalyst/AQE broadcasts when it fits.
+    # The JVM-side Levenshtein gate (whole-stage codegen, with
+    # early-exit threshold) runs BEFORE the Python JW UDF so the Arrow
+    # boundary only sees the tiny surviving fraction of the pair set.
     t = docs.select("id", "title_norm")
     scored = (
         pairs.join(
             t.select(F.col("id").alias("id1"), F.col("title_norm").alias("t1")), "id1"
         )
         .join(t.select(F.col("id").alias("id2"), F.col("title_norm").alias("t2")), "id2")
+        .withColumn("lev", F.levenshtein(F.col("t1"), F.col("t2"), lev_max + 1))
+        .where((F.col("lev") >= 0) & (F.col("lev") <= lev_max))
         .withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
     )
     if pair_scorer is not None:

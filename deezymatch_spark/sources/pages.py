@@ -37,10 +37,24 @@ from pyspark.sql.types import (
 
 __all__ = ["generate_pages", "extract_title", "extract_anchor_texts"]
 
+# ~120 syllables (multi-script per FIXTURES.md F3) so the name space is
+# Common-Crawl-diverse: at 50k pages a given 2-syllable word repeats
+# only a handful of times, like real web titles — a 30-syllable
+# inventory made every word a hot blocking key and every cluster
+# ambiguous with some neighbor.
 _SYLLABLES = [
     "lon", "don", "par", "is", "ber", "lin", "mad", "rid", "tok", "yo",
     "ro", "ma", "vi", "en", "na", "po", "li", "sa", "mos", "cow",
     "ath", "ens", "os", "lo", "hel", "sin", "ki", "du", "bl", "in",
+    "bru", "ges", "ham", "burg", "mun", "ich", "koln", "stut", "gart", "bre",
+    "men", "dres", "den", "leip", "zig", "nan", "tes", "lyon", "mar", "seil",
+    "tou", "louse", "nice", "ren", "nes", "lille", "bor", "deaux", "se", "ville",
+    "val", "enc", "zar", "goza", "mala", "ga", "mur", "cia", "bil", "bao",
+    "gij", "on", "vigo", "turin", "mil", "ano", "nap", "oli", "pal", "ermo",
+    "gen", "ova", "bol", "ogna", "fir", "enze", "ven", "ezia", "ver", "ona",
+    "kra", "kow", "lodz", "wro", "claw", "poz", "nan2", "gda", "nsk", "szc",
+    "zecin", "byd", "gos", "lub", "ka", "to", "wice", "bia", "lys", "tok2",
+    "мос", "ква", "пет", "ров", "ñes", "çoi", "αθή", "ναι", "京", "都",
 ]
 _LANGS = ["en", "en", "en", "en", "de", "es", "fr", "zh"]
 # fixed epoch for warc_ts (2021-01-01 UTC) — deterministic, no wall clock
@@ -52,12 +66,18 @@ def _base_name(cluster_id: int) -> str:
     # names (sequential division would give every small cluster the
     # same suffix syllables, making cross-cluster negatives
     # near-identical strings — an unlearnable matching task)
+    # 6 base-30 digits (~729M combos) keeps names injective and
+    # well-separated at any sandbox scale: distinct clusters differ in
+    # ~5.8 of 6 syllables in expectation, so cross-cluster Levenshtein
+    # stays far above the <=2-edit envelope of within-cluster variants.
     n = (cluster_id * 2654435761 + 97) % (1 << 32)
     parts = []
-    for _ in range(4):
+    for _ in range(6):
         parts.append(_SYLLABLES[n % len(_SYLLABLES)])
         n //= len(_SYLLABLES)
-    return (parts[0] + parts[1] + " " + parts[2] + parts[3]).title()
+    return (
+        parts[0] + parts[1] + " " + parts[2] + parts[3] + " " + parts[4] + parts[5]
+    ).title()
 
 
 def _variant(base: str, v: int) -> str:
