@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deezymatch_spark.functions import (
+    bpe_token_count,
     distinct_char_ngrams,
+    doc_fingerprint,
     gram_hashes,
     jaro_winkler_udf,
     lang_id,
@@ -32,6 +34,7 @@ from deezymatch_spark.functions import (
     normalize_udf,
     prefix_ngram_keys,
     quality_score,
+    rolling_fingerprint,
     simhash,
     whitespace_token_count,
     word_token_count,
@@ -41,6 +44,8 @@ from deezymatch_spark.operators import (
     brute_force_topk,
     candidate_ranker,
     connected_components,
+    embedding_dup_pairs,
+    ivf_topk,
     lsh_topk,
     minhash_dup_pairs,
     train_val_test_split,
@@ -131,6 +136,7 @@ def q_token_stats(spark, sf):
         "doc_id",
         whitespace_token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
         word_token_count(F.col("text")).cast("long").alias("n_word_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -341,6 +347,34 @@ def q_jaro_winkler_pairs(spark, sf):
     )
 
 
+def q_doc_fingerprints(spark, sf):
+    d = _docs_norm(spark, sf)
+    return d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        rolling_fingerprint(F.col("text"), window=8, keep=4).alias("shingle_mins"),
+    ).select(
+        "doc_id", "fingerprint",
+        F.posexplode("shingle_mins").alias("pos", "shingle_hash"),
+    ).select(
+        "doc_id", "fingerprint",
+        F.col("pos").cast("long").alias("pos"), "shingle_hash",
+    )
+
+
+# synthetic embeddings are near-random (min pairwise cosine dist ≈0.54)
+# — 0.65 yields a small non-empty "near-dup" set to exercise the operator
+EMBDUP_THRESHOLD = 0.65
+
+
+def q_embedding_dup_pairs(spark, sf):
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+    return embedding_dup_pairs(
+        e, "vec_id", "embedding",
+        cosine_threshold=EMBDUP_THRESHOLD, exhaustive=True,
+    ).select("id1", "id2", (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"))
+
+
 NEARDUP_LIMIT = 200
 
 
@@ -380,6 +414,41 @@ def q_normalize_nfkd(spark, sf):
     has no NFKD builtin, so rows-only."""
     return _t(spark, sf, "documents").select(
         "doc_id", normalize_udf(F.col("text")).alias("text_norm")
+    )
+
+
+def q_ivf_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(
+        q, emb, k=5, n_lists=8, n_probe=3, metric="cosine",
+        q_id="vec_id", q_vec="embedding", c_id="vec_id", c_vec="embedding",
+    ).select(
+        "query_id", "candidate_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q_image_features(spark, sf):
+    from deezymatch_spark.multimodal import image_features, synthetic_media
+
+    media = synthetic_media(spark, 300, kind="image")
+    return image_features(media).select(
+        "media_id", "width", "height", "channels",
+        F.round(F.element_at("feat", 1), 6).alias("feat_0"),
+        F.size("feat").cast("long").alias("feat_dim"),
+    )
+
+
+def q_audio_features(spark, sf):
+    from deezymatch_spark.multimodal import audio_features, synthetic_media
+
+    media = synthetic_media(spark, 300, kind="audio")
+    return audio_features(media).select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.size("feat").cast("long").alias("feat_dim"),
     )
 
 
@@ -437,8 +506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "events_hourly": q_events_hourly,
+        "doc_fingerprints": q_doc_fingerprints,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "normalize_nfkd": q_normalize_nfkd,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "pipeline_entity_clusters": q_pipeline_entity_clusters,
     }
 
@@ -477,7 +551,10 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": f"""
             select doc_id,
               len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) as n_ws_tokens,
-              len(list_filter(string_split_regex(text, '{_D_WORD_RE}'), x -> x != '')) as n_word_tokens
+              len(list_filter(string_split_regex(text, '{_D_WORD_RE}'), x -> x != '')) as n_word_tokens,
+              len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'
+              )) as n_bpe_tokens
             from documents""",
         "ngram_blocking_keys": f"""
             select doc_id, unnest(list_distinct({g12})) as block_key
@@ -611,6 +688,26 @@ def oracle_sql() -> dict[str, str]:
               round(jaro_winkler_similarity(a.p, b.p), 6) as jw,
               levenshtein(a.p, b.p) as lev
             from d a join d b on b.doc_id = a.doc_id + 1""",
+        "doc_fingerprints": f"""
+            with d as (select doc_id, {_D_NORM} as t from documents),
+            sh as (select doc_id, {_D_MD5.format(x="t")} as fingerprint,
+                     list_transform(generate_series(1, greatest(length(t)-7, 1)),
+                       i -> substr(t, i, 8)) as shingles
+                   from d),
+            m as (select doc_id, fingerprint,
+                    list_sort(list_transform(shingles, g -> {_D_MD5.format(x="g")}))[1:4] as mins
+                  from sh)
+            select doc_id, fingerprint, s - 1 as pos, mins[s] as shingle_hash
+            from m, generate_series(1, 4) as t(s) where s <= len(mins)""",
+        "embedding_dup_pairs": f"""
+            with e as (select vec_id, embedding from embeddings where vec_id < 300),
+            p as (select a.vec_id as id1, b.vec_id as id2,
+                    1.0 - ({_d_dot("a.embedding", "b.embedding", EMB_DIM)})
+                      / (sqrt({_d_dot("a.embedding", "a.embedding", EMB_DIM)})
+                         * sqrt({_d_dot("b.embedding", "b.embedding", EMB_DIM)})) as cosine
+                  from e a join e b on a.vec_id < b.vec_id)
+            select id1, id2, round(cosine, 6) + 0.0 as cosine
+            from p where cosine <= {EMBDUP_THRESHOLD}""",
         "minhash_dup_pairs": f"""
             with src as (
               select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}

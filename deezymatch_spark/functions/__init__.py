@@ -18,6 +18,7 @@ from .ngrams import (
     word_tokens,
 )
 from .textstats import (
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     punct_ratio,
@@ -35,7 +36,7 @@ __all__ = [
     "minhash_from_base", "minhash_signature", "simhash",
     "char_ngrams", "distinct_char_ngrams", "normalize_basic",
     "prefix_ngram_keys", "word_tokens",
-    "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
+    "bpe_token_count", "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
     "rolling_fingerprint", "stopword_ratio", "whitespace_token_count",
     "word_token_count",
     "jaro_winkler", "jaro_winkler_udf", "make_encode_udf", "normalize_udf",

@@ -18,6 +18,8 @@ from .ngrams import normalize_basic, word_tokens
 __all__ = [
     "whitespace_token_count",
     "word_token_count",
+    "bpe_token_count",
+    "BPE_SPLIT_REGEX",
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
@@ -48,8 +50,20 @@ def whitespace_token_count(col: Column) -> Column:
 
 
 def word_token_count(col: Column) -> Column:
-    """BPE-ish token proxy: punctuation-aware word tokens."""
+    """Punctuation-aware word token count."""
     return F.size(word_tokens(col))
+
+
+# GPT-2-style pre-tokenizer split: contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs. ASCII classes only so the
+# Java-regex (Spark) and RE2 (DuckDB oracle) behaviors coincide.
+BPE_SPLIT_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments — the
+    standard cheap proxy for LLM token budgets at corpus scale."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_REGEX), F.lit(0)))
 
 
 def punct_ratio(col: Column) -> Column:

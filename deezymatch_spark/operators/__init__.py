@@ -3,22 +3,23 @@
 from .blocking import block_join, blocking_keys, candidate_pairs
 from .cc import connected_components
 from .dedup import (
+    embedding_dup_pairs,
     exact_dedup,
     exact_dup_groups,
     minhash_dup_pairs,
     near_dedup,
     ngram_jaccard,
 )
-from .knn import brute_force_topk, lsh_topk
+from .knn import brute_force_topk, ivf_topk, lsh_topk
 from .ranker import candidate_ranker, validate_ranker_args
 from .split import train_val_test_split
 
 __all__ = [
     "block_join", "blocking_keys", "candidate_pairs",
     "connected_components",
-    "exact_dedup", "exact_dup_groups", "minhash_dup_pairs", "near_dedup",
-    "ngram_jaccard",
-    "brute_force_topk", "lsh_topk",
+    "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
+    "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
+    "brute_force_topk", "ivf_topk", "lsh_topk",
     "candidate_ranker", "validate_ranker_args",
     "train_val_test_split",
 ]

@@ -113,6 +113,67 @@ def minhash_dup_pairs(
     return verified
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    cosine_threshold: float = 0.05,
+    dim: int | None = None,
+    num_planes: int = 6,
+    num_tables: int = 2,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """→ [id1, id2, cosine] embedding-cosine near-duplicate pairs
+    (id1 < id2, cosine distance <= threshold).
+
+    Scale path: sign-LSH bucket self-join (same hyperplane scheme as
+    knn.lsh_topk) with exact cosine verification inside buckets.
+    ``exhaustive=True`` switches to the O(N²) cross join — the
+    oracle-checkable reference semantics for small inputs."""
+    from ..functions.distances import cosine_dist
+    from .knn import _hyperplane_sig
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if exhaustive:
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                cosine_dist(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            )
+            .where(F.col("cosine") <= cosine_threshold)
+        )
+
+    import numpy as np
+
+    if dim is None:
+        raise ValueError("dim required for the LSH path")
+    rng = np.random.Generator(np.random.Philox(1364))
+    parts = []
+    for _ in range(num_tables):
+        planes = rng.standard_normal((num_planes, dim)).tolist()
+        keyed = base.select(
+            "id", "vec", _hyperplane_sig(F.col("vec"), planes).alias("_sig")
+        )
+        a, b = keyed.alias("a"), keyed.alias("b")
+        parts.append(
+            a.join(b, "_sig")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                cosine_dist(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.where(F.col("cosine") <= cosine_threshold).dropDuplicates(["id1", "id2"])
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str,

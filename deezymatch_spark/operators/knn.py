@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.distances import cosine_dist, dot, sq_l2
 from ..functions.hashing import md5_long
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
 
 _METRICS = {"sq_l2": sq_l2, "cosine": cosine_dist}
 
@@ -128,3 +128,77 @@ def lsh_topk(
     allpairs = allpairs.dropDuplicates(["query_id", "candidate_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("candidate_id").asc())
     return allpairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    metric: str = "cosine",
+    q_id: str = "id",
+    q_vec: str = "vec",
+    c_id: str = "id",
+    c_vec: str = "vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition candidates into
+    ``n_lists`` inverted lists by nearest coarse centroid; each query
+    probes its ``n_probe`` closest lists and scores exactly inside them.
+
+    Coarse centroids are picked deterministically from the candidate
+    set itself (the ``n_lists`` rows with smallest ``xxhash64(id)`` — a
+    seedless reservoir; kmeans refinement is unnecessary for bucketing
+    correctness). The centroid table is tiny and BROADCAST to both
+    assignment joins, so the only shuffle is the final per-query
+    window; candidate assignment is a map-side broadcast join even at
+    10^12 rows.
+    """
+    dist_fn = _METRICS[metric]
+    c = candidates.select(F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv"))
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+
+    cent = (
+        c.withColumn("_h", F.xxhash64("candidate_id"))
+        .orderBy("_h")
+        .limit(n_lists)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("_h"))
+            .alias("list_id"),
+            F.col("_cv").alias("_centroid"),
+        )
+    )
+
+    # assign candidates: argmin over the broadcast centroid table
+    w_assign = Window.partitionBy("candidate_id").orderBy(
+        F.col("_cd").asc(), F.col("list_id").asc()
+    )
+    c_assigned = (
+        c.join(F.broadcast(cent))
+        .withColumn("_cd", dist_fn(F.col("_cv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select("candidate_id", "_cv", "list_id")
+    )
+
+    # assign queries to their n_probe closest lists
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_qd").asc(), F.col("list_id").asc()
+    )
+    q_assigned = (
+        q.join(F.broadcast(cent))
+        .withColumn("_qd", dist_fn(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "list_id")
+    )
+
+    scored = q_assigned.join(c_assigned, "list_id").select(
+        "query_id", "candidate_id", dist_fn(F.col("_qv"), F.col("_cv")).alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("candidate_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
