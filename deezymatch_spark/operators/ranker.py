@@ -109,8 +109,6 @@ def candidate_ranker(
     else:
         joined = (F.broadcast(q) if broadcast_queries else q).crossJoin(c)
 
-    n_cand_total = candidates.count()
-
     scored = joined.withColumn("faiss_dist", sq_l2(F.col("_qv"), F.col("_cv")))
     if calc_cosine or metric == "cosine":
         scored = scored.withColumn("cosine_dist", cosine_dist(F.col("_qv"), F.col("_cv")))
@@ -123,11 +121,65 @@ def candidate_ranker(
     else:
         scored = scored.withColumn("dl_match", F.lit(None).cast("double"))
 
-    # faiss ordering — the arrival order of the reference's windows
+    # faiss ordering — the arrival order of the reference's windows.
+    # Every window below partitions by query_id, so the whole post-score
+    # pipeline (rank, filters, dedup, top-k, num_all_searches) runs on
+    # ONE shuffle: Catalyst reuses the (query_id) hash partitioning
+    # across same-key window operators.
     w_faiss = Window.partitionBy("query_id").orderBy(
         F.col("faiss_dist").asc(), F.col("candidate_id").asc()
     )
     scored = scored.withColumn("_faiss_rank", F.row_number().over(w_faiss))
+
+    # num_all_searches compat column: the adaptive loop's final k,
+    # computed as window aggregates over the full scored set (no
+    # groupBy/join, no second scan of the cross join, no eager count):
+    # batch of faiss position p = ceil(p / search_size); the loop stops
+    # at the earlier of (a) the batch where the num_candidates-th
+    # passing candidate lands, (b) the first batch with a distance
+    # above threshold (faiss/cosine only); otherwise it exhausts all
+    # |C| candidates. k = batch * search_size capped at |C|
+    # (candidateRanker.py:381-398,501-510).
+    batch = F.ceil(F.col("_faiss_rank") / F.lit(search_size))
+    if metric == "faiss":
+        passing = F.col("faiss_dist") <= selection_threshold
+        over = F.when(F.col("faiss_dist") > selection_threshold, batch)
+    elif metric == "cosine":
+        passing = F.col("cosine_dist") <= selection_threshold
+        over = F.when(F.col("cosine_dist") > selection_threshold, batch)
+    else:
+        passing = F.col("dl_match") >= selection_threshold
+        over = F.lit(None).cast("long")
+    if isinstance(length_diff, int):
+        passing = passing & (
+            F.abs(F.length("query") - F.length("candidate")) <= length_diff
+        )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("_faiss_rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_q = Window.partitionBy("query_id")
+    scored = (
+        scored.withColumn(
+            "_cum_pass", F.sum(F.when(passing, 1).otherwise(0)).over(w_cum)
+        )
+        .withColumn(
+            "_stop_batch",
+            F.least(
+                F.min(F.when(F.col("_cum_pass") == num_candidates, batch)).over(w_q),
+                F.min(over).over(w_q),
+            ),
+        )
+        .withColumn("_n_cand", F.count("*").over(w_q))
+        .withColumn(
+            "num_all_searches",
+            F.least(
+                F.coalesce(F.col("_stop_batch") * search_size, F.col("_n_cand")),
+                F.col("_n_cand"),
+            ),
+        )
+    )
 
     # P7 length filter (on NFKD-normalized spellings)
     filtered = scored
@@ -167,68 +219,16 @@ def candidate_ranker(
         .where(F.col("rank") <= num_candidates)
     )
 
-    # num_all_searches compat column: the adaptive loop's final k.
-    # batch index of a faiss position p = ceil(p / search_size);
-    # loop stops at the earlier of (a) the batch where the
-    # num_candidates-th passing candidate lands, (b) the first batch
-    # containing a distance above threshold (faiss/cosine only);
-    # otherwise it exhausts all candidates. k = batch * search_size
-    # capped at |C| (candidateRanker.py:381-398,501-510).
-    batch = F.ceil(F.col("_faiss_rank") / F.lit(search_size))
-    pass_flag = F.when(F.col("rank").isNotNull(), F.lit(1))
-    w_cum = (
-        Window.partitionBy("query_id")
-        .orderBy(F.col("_faiss_rank").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    stops = scored
-    if metric == "faiss":
-        over = F.when(F.col("faiss_dist") > selection_threshold, batch)
-    elif metric == "cosine":
-        over = F.when(F.col("cosine_dist") > selection_threshold, batch)
-    else:
-        over = F.lit(None).cast("long")
-    # recompute pass flags on the scored (pre-top-k) set
-    if metric == "faiss":
-        passing = F.col("faiss_dist") <= selection_threshold
-    elif metric == "cosine":
-        passing = F.col("cosine_dist") <= selection_threshold
-    else:
-        passing = F.col("dl_match") >= selection_threshold
-    if isinstance(length_diff, int):
-        passing = passing & (
-            F.abs(F.length("query") - F.length("candidate")) <= length_diff
-        )
-    stops = stops.withColumn(
-        "_cum_pass", F.sum(F.when(passing, 1).otherwise(0)).over(w_cum)
-    )
-    nas = stops.groupBy("query_id").agg(
-        F.least(
-            F.min(F.when(F.col("_cum_pass") == num_candidates, batch)),
-            F.min(over),
-        ).alias("_stop_batch")
-    )
-    nas = nas.select(
+    return ranked.select(
         "query_id",
-        F.least(
-            F.coalesce(F.col("_stop_batch") * search_size, F.lit(n_cand_total)),
-            F.lit(n_cand_total),
-        ).alias("num_all_searches"),
-    )
-
-    return (
-        ranked.join(nas, "query_id", "left")
-        .select(
-            "query_id",
-            "query",
-            "query_orig",
-            "rank",
-            "candidate",
-            "candidate_orig",
-            "candidate_id",
-            "faiss_dist",
-            "cosine_dist",
-            "dl_match",
-            "num_all_searches",
-        )
+        "query",
+        "query_orig",
+        "rank",
+        "candidate",
+        "candidate_orig",
+        "candidate_id",
+        "faiss_dist",
+        "cosine_dist",
+        "dl_match",
+        "num_all_searches",
     )

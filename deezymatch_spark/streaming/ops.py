@@ -1,0 +1,118 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY.md §2.9); these cover the
+continuous-ingest half of a web-scale pipeline: a WARC-crawl stream of
+pages flowing through the same extract/normalize/blocking expressions
+(stateless — identical code paths as batch, Spark's unified API), plus
+watermarked windowed aggregation for the events/metrics stream, and a
+foreachBatch incremental-match stage that reuses the batch ER scorer
+against a static candidate table with exactly-once checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.udfs import jaro_winkler_udf, normalize_udf
+from ..operators.blocking import blocking_keys
+from ..sources.pages import extract_title
+
+__all__ = [
+    "streaming_pages_normalize",
+    "windowed_event_counts",
+    "streaming_entity_matches",
+]
+
+
+def streaming_pages_normalize(pages_stream: DataFrame) -> DataFrame:
+    """Stateless extract + NFKD-normalize on a pages stream — the exact
+    batch S0 expressions; works unchanged on a streaming DataFrame."""
+    return pages_stream.select(
+        F.xxhash64("url").alias("id"),
+        "url",
+        "warc_ts",
+        extract_title(F.col("html")).alias("title"),
+    ).withColumn("title_norm", normalize_udf(F.col("title")))
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type —
+    late rows beyond the watermark are dropped, state is bounded."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(
+        F.col(ts_col), window
+    )
+    # watermarks require TIMESTAMP (with timezone); parquet NTZ upcast
+    events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_entity_matches(
+    pages_stream: DataFrame,
+    candidates: DataFrame,
+    *,
+    jw_threshold: float = 0.82,
+    lev_max: int = 2,
+    max_block_size: int = 100,
+    checkpoint_dir: str,
+    output_dir: str,
+):
+    """Continuously match incoming pages against a static candidate
+    table (id, title_norm): per micro-batch, reuse the batch blocking +
+    scoring operators via ``foreachBatch`` (the idiomatic pattern for
+    stream-static pipelines that need multi-stage joins), writing
+    matches to Parquet with exactly-once checkpointing.
+
+    → StreamingQuery (caller awaits/stops it)."""
+    cand_keys = blocking_keys(candidates, "id", "title_norm").withColumnRenamed(
+        "id", "cand_id"
+    )
+    cand_titles = candidates.select(
+        F.col("id").alias("cand_id"), F.col("title_norm").alias("cand_title")
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df
+        keys = blocking_keys(docs, "id", "title_norm")
+        pairs = (
+            keys.join(cand_keys, "block_key")
+            .select("id", "cand_id")
+            .distinct()
+        )
+        scored = (
+            pairs.join(docs.select("id", "title_norm"), "id")
+            .join(cand_titles, "cand_id")
+            .withColumn(
+                "lev", F.levenshtein(F.col("title_norm"), F.col("cand_title"), lev_max + 1)
+            )
+            .where((F.col("lev") >= 0) & (F.col("lev") <= lev_max))
+            .withColumn("jw", jaro_winkler_udf(F.col("title_norm"), F.col("cand_title")))
+            .where(F.col("jw") >= jw_threshold)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        scored.write.mode("append").parquet(output_dir)
+
+    return (
+        streaming_pages_normalize(pages_stream)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
