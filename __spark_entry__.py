@@ -395,6 +395,39 @@ def q_minhash_dup_pairs(spark, sf):
     ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_map_metric(spark, sf):
+    """MAP over synthetic ranking groups: group = label, score =
+    embedding[0], relevant = vec_id % 3 == 0 (deterministic)."""
+    from deezymatch_spark.operators import mean_average_precision
+
+    e = _t(spark, sf, "embeddings").select(
+        F.col("label").alias("grp"),
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("vec_id") % 3 == 0).cast("int").alias("rel"),
+        F.col("vec_id").alias("tie"),
+    )
+    m = mean_average_precision(
+        e, query_col="grp", score_col="score", label_col="rel", tie_col="tie"
+    )
+    return m.select(F.round("map", 6).alias("map"), "n_queries")
+
+
+def q_classification_metrics(spark, sf):
+    from deezymatch_spark.operators import classification_metrics
+
+    e = _t(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 3 == 0).cast("int").alias("label"),
+        (F.element_at("embedding", 1) > 0).cast("int").alias("prediction"),
+    )
+    return classification_metrics(e).select(
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        "tp", "fp", "fn", "tn",
+    )
+
+
 def q_events_hourly(spark, sf):
     e = _t(spark, sf, "events")
     return e.groupBy(
@@ -506,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "events_hourly": q_events_hourly,
+        "map_metric": q_map_metric,
+        "classification_metrics": q_classification_metrics,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "normalize_nfkd": q_normalize_nfkd,
@@ -688,6 +723,38 @@ def oracle_sql() -> dict[str, str]:
               round(jaro_winkler_similarity(a.p, b.p), 6) as jw,
               levenshtein(a.p, b.p) as lev
             from d a join d b on b.doc_id = a.doc_id + 1""",
+        "map_metric": """
+            with s as (select label as grp, embedding[1]::double as score,
+                         case when vec_id % 3 = 0 then 1 else 0 end as rel,
+                         vec_id as tie
+                       from embeddings),
+            r as (select grp, rel,
+                    row_number() over (partition by grp order by score desc, tie asc) as rk,
+                    sum(rel) over (partition by grp order by score desc, tie asc
+                                   rows unbounded preceding) as tp
+                  from s),
+            perq as (select grp,
+                       sum(case when rel = 1 then tp::double / rk end) / sum(rel) as ap
+                     from r group by grp having sum(rel) > 0)
+            select round(avg(ap), 6) as map, count(*) as n_queries from perq""",
+        "classification_metrics": """
+            with s as (select case when vec_id % 3 = 0 then 1 else 0 end as y,
+                         case when embedding[1] > 0 then 1 else 0 end as p
+                       from embeddings),
+            c as (select
+                    sum(case when y=1 and p=1 then 1 else 0 end) as tp,
+                    sum(case when y=0 and p=1 then 1 else 0 end) as fp,
+                    sum(case when y=1 and p=0 then 1 else 0 end) as fn,
+                    sum(case when y=0 and p=0 then 1 else 0 end) as tn
+                  from s)
+            select
+              round((tp+tn)::double / greatest(tp+fp+fn+tn, 1), 6) as accuracy,
+              round(tp::double / greatest(tp+fp, 1), 6) as precision,
+              round(tp::double / greatest(tp+fn, 1), 6) as recall,
+              round(2.0 * (tp::double/greatest(tp+fp,1)) * (tp::double/greatest(tp+fn,1))
+                / greatest((tp::double/greatest(tp+fp,1)) + (tp::double/greatest(tp+fn,1)), 1e-12), 6) as f1,
+              tp, fp, fn, tn
+            from c""",
         "doc_fingerprints": f"""
             with d as (select doc_id, {_D_NORM} as t from documents),
             sh as (select doc_id, {_D_MD5.format(x="t")} as fingerprint,

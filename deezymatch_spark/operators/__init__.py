@@ -11,6 +11,7 @@ from .dedup import (
     ngram_jaccard,
 )
 from .knn import brute_force_topk, ivf_topk, lsh_topk
+from .metrics import classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
 from .split import train_val_test_split
 
@@ -20,6 +21,7 @@ __all__ = [
     "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
     "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
     "brute_force_topk", "ivf_topk", "lsh_topk",
+    "classification_metrics", "mean_average_precision",
     "candidate_ranker", "validate_ranker_args",
     "train_val_test_split",
 ]

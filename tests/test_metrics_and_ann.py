@@ -1,0 +1,91 @@
+"""MAP / classification metrics parity + approximate-ANN recall."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from deezymatch_spark.operators import (
+    brute_force_topk,
+    classification_metrics,
+    embedding_dup_pairs,
+    ivf_topk,
+    mean_average_precision,
+)
+from deezymatch_spark.operators.metrics import average_precision_pandas
+
+
+def test_average_precision_matches_reference_formula():
+    # hand case: labels by descending score [1,0,1,0] -> AP = (1/1 + 2/3)/2
+    labels = np.array([1.0, 0.0, 1.0, 0.0])
+    scores = np.array([0.9, 0.8, 0.7, 0.6])
+    assert abs(average_precision_pandas(labels, scores) - (1 + 2 / 3) / 2) < 1e-12
+
+
+def test_mean_average_precision(spark):
+    rows = [
+        ("q1", 0.9, 1, 0), ("q1", 0.8, 0, 1), ("q1", 0.7, 1, 2), ("q1", 0.6, 0, 3),
+        ("q2", 0.9, 0, 4), ("q2", 0.8, 1, 5),       # AP = 1/2
+        ("q3", 0.9, 0, 6), ("q3", 0.8, 0, 7),       # no positives -> skipped
+    ]
+    df = spark.createDataFrame(rows, "query string, score double, label int, tie long")
+    m = mean_average_precision(df, tie_col="tie").collect()[0]
+    assert m.n_queries == 2
+    expected = (((1 + 2 / 3) / 2) + 0.5) / 2
+    assert abs(m.map - expected) < 1e-9
+
+
+def test_classification_metrics(spark):
+    # tp=2 fp=1 fn=1 tn=2
+    rows = [(1, 1), (1, 1), (0, 1), (1, 0), (0, 0), (0, 0)]
+    df = spark.createDataFrame(rows, "label int, prediction int")
+    m = classification_metrics(df).collect()[0]
+    assert (m.tp, m.fp, m.fn, m.tn) == (2, 1, 1, 2)
+    assert abs(m.precision - 2 / 3) < 1e-9
+    assert abs(m.recall - 2 / 3) < 1e-9
+    assert abs(m.accuracy - 4 / 6) < 1e-9
+
+
+def _emb(spark, n=200):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") < n)
+    )
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 10)
+    kw = dict(k=5, metric="cosine", q_id="vec_id", q_vec="embedding",
+              c_id="vec_id", c_vec="embedding")
+    exact = {
+        (r.query_id, r.candidate_id)
+        for r in brute_force_topk(q, emb, **kw).collect()
+    }
+    approx = {
+        (r.query_id, r.candidate_id)
+        for r in ivf_topk(q, emb, n_lists=8, n_probe=6, **kw).collect()
+    }
+    # rank-1 self matches always survive (query lives in a probed list)
+    assert all((i, i) in approx for i in range(10))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # high-dim random vectors: coarse buckets
+
+
+def test_embedding_dup_pairs_lsh_subset_of_exhaustive(spark):
+    emb = _emb(spark)
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", cosine_threshold=0.7, exhaustive=True
+        ).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", cosine_threshold=0.7,
+            dim=64, num_planes=4, num_tables=4,
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+    # sign-LSH recall on threshold-passing pairs
+    assert len(lsh) / len(exact) >= 0.3
