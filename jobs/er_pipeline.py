@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the flagship ER pipeline.
+
+Ship + run (north_rule: spark-submit --py-files on a multi-executor
+cluster; resumable via --work-dir):
+
+    cd /root/repo && zip -qr /tmp/deezymatch_spark.zip deezymatch_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/deezymatch_spark.zip \
+        jobs/er_pipeline.py \
+        --input s3://bucket/pages_parquet --output s3://bucket/clusters \
+        --work-dir s3://bucket/ckpt --shuffle-partitions 4096
+
+For the sandbox / smoke tests, --n-pages synthesizes the deterministic
+pages table instead of reading --input.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages parquet/iceberg path (input_hint schema)")
+    ap.add_argument("--n-pages", type=int, help="synthesize N deterministic pages")
+    ap.add_argument("--output", required=True, help="clusters output parquet path")
+    ap.add_argument("--work-dir", help="stage checkpoint dir (resume on re-run)")
+    ap.add_argument("--jw-threshold", type=float, default=0.82)
+    ap.add_argument("--lev-max", type=int, default=2)
+    ap.add_argument("--max-block-size", type=int, default=100)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("deezymatch-spark-er-pipeline").config(
+        "spark.sql.adaptive.enabled", "true"
+    ).config("spark.sql.adaptive.skewJoin.enabled", "true")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+
+    from deezymatch_spark.pipeline import run_er_pipeline
+
+    pages = spark.read.parquet(args.input) if args.input else None
+    out = run_er_pipeline(
+        spark,
+        pages=pages,
+        n_pages=args.n_pages,
+        work_dir=args.work_dir,
+        jw_threshold=args.jw_threshold,
+        lev_max=args.lev_max,
+        max_block_size=args.max_block_size,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"clusters written to {args.output}: {spark.read.parquet(args.output).count()} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
