@@ -62,6 +62,58 @@ def pages_for_sf(sf: float) -> int:
     return max(500, int(500_000 * sf))
 
 
+def bench_pairwise_scoring(spark, n_pages: int) -> tuple[int, float]:
+    """Siamese-GRU pairwise classification throughput (the reference's
+    headline number: 1.1-2.6k pairs/s on cuda:1, BASELINE.md). Model
+    artifact is trained once and cached under /tmp."""
+    from pyspark.sql import functions as F
+
+    from deezymatch_spark import api
+    from deezymatch_spark.sources.pages import generate_pages
+
+    path = "/tmp/deezymatch_bench_model"
+    if not os.path.exists(os.path.join(path, "config.json")):
+        pages = generate_pages(spark, 2000, with_truth=True)
+        t = pages.select(
+            F.xxhash64("url").alias("id"), "title", F.col("cluster_id").alias("cid")
+        )
+        a, b = t.alias("a"), t.alias("b")
+        train_pairs = (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.title").alias("s1"), F.col("b.title").alias("s2"),
+                (F.col("a.cid") == F.col("b.cid")).alias("label"),
+            )
+            .orderBy(F.rand(1364)).limit(2000)
+            .withColumn("original_index", F.monotonically_increasing_id())
+        )
+        api.train(spark, train_pairs, "deezymatch_bench_model", models_dir="/tmp")
+
+    n_side = max(n_pages // 2, 2000)
+    big = generate_pages(spark, n_side, with_truth=True).select(
+        F.xxhash64("url").alias("id"), "title", "cluster_id"
+    )
+    a, b = big.alias("a"), big.alias("b")
+    pairs = (
+        a.join(b, F.col("b.cluster_id") == F.col("a.cluster_id") + 1)
+        .select(F.col("a.title").alias("s1"), F.col("b.title").alias("s2"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    n = pairs.count()
+    scored = api.inference(spark, path, pairs, inference_mode="test")
+    # untimed warm-up: spin up python workers + load the model artifact
+    # once per worker so the timed pass measures steady-state throughput
+    api.inference(
+        spark, path, pairs.sample(False, 0.02, seed=1), inference_mode="test"
+    ).agg({"p1": "sum"}).collect()
+    t0 = time.time()
+    scored.agg({"p1": "sum"}).collect()
+    el = time.time() - t0
+    pairs.unpersist()
+    return n, el
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int,
@@ -82,6 +134,7 @@ def main() -> None:
     # Headline subset: the operators that dominate a real ER run.
     names = [
         "pipeline_entity_clusters",
+        "pairwise_scoring",
         "ranker_topk",
         "minhash_dup_pairs",
         "lsh_band_keys",
@@ -106,6 +159,10 @@ def main() -> None:
             extras["pages"] = n_pages
             extras["pages_per_sec"] = round(n_pages / el, 1)
             extras["pipeline_out_rows"] = n_rows
+        elif name == "pairwise_scoring":
+            n_pairs, el = bench_pairwise_scoring(spark, n_pages)
+            extras["pairs_scored"] = n_pairs
+            extras["pairs_per_sec"] = round(n_pairs / el, 1)
         else:
             fn = qs[name]
             n_rows = fn(spark, args.sf_dir).count()

@@ -147,7 +147,9 @@ class SiameseRNN:
     # ------------------------------------------------------- recurrence
 
     def _cell_step(self, x, h, c, Wih, Whh, bih, bhh):
-        gi = x @ Wih.T + bih
+        return self._gate_step(x @ Wih.T + bih, h, c, Whh, bhh)
+
+    def _gate_step(self, gi, h, c, Whh, bhh):
         gh = h @ Whh.T + bhh
         H = self.hidden
         if self.arch == "gru":
@@ -166,17 +168,22 @@ class SiameseRNN:
 
     def _run_direction(self, inp, lengths, layer, d):
         """inp [B,T,D] already direction-adjusted; returns (outputs
-        [B,T,H] aligned to inp order, h_n [B,H])."""
+        [B,T,H] aligned to inp order, h_n [B,H]).
+
+        The input-to-hidden projection for ALL timesteps is one batched
+        matmul hoisted out of the recurrence — only the (small)
+        hidden-to-hidden matmul stays in the loop."""
         B, T, _ = inp.shape
         H = self.hidden
         p = f"l{layer}d{d}"
         Wih, Whh = self.w[f"{p}_Wih"], self.w[f"{p}_Whh"]
         bih, bhh = self.w[f"{p}_bih"], self.w[f"{p}_bhh"]
+        gi_all = inp @ Wih.T + bih  # [B,T,g*H]
         h = np.zeros((B, H), dtype=np.float32)
         c = np.zeros((B, H), dtype=np.float32)
         outs = np.zeros((B, T, H), dtype=np.float32)
         for t in range(T):
-            h2, c2 = self._cell_step(inp[:, t, :], h, c, Wih, Whh, bih, bhh)
+            h2, c2 = self._gate_step(gi_all[:, t, :], h, c, Whh, bhh)
             mask = (t < lengths)[:, None]
             h = np.where(mask, h2, h)
             c = np.where(mask, c2, c)
@@ -185,17 +192,29 @@ class SiameseRNN:
 
     @staticmethod
     def _reverse_padded(x, lengths):
-        """Reverse each row's valid prefix (packed-seq backward read)."""
-        out = np.zeros_like(x)
-        for i, n in enumerate(lengths):
-            n = int(n)
-            out[i, :n] = x[i, :n][::-1]
-        return out
+        """Reverse each row's valid prefix (packed-seq backward read) —
+        vectorized gather, no per-row loop."""
+        B, T = x.shape[0], x.shape[1]
+        ar = np.arange(T)
+        idx = np.where(
+            ar[None, :] < lengths[:, None], lengths[:, None] - 1 - ar[None, :],
+            ar[None, :],
+        )
+        return x[np.arange(B)[:, None], idx]
 
     def _encode_all(self, X, lengths):
-        """→ (outputs [B,T,H*dirs], h_n dict[(layer,dir)] = [B,H])."""
-        inp = self.w["emb"][X]  # [B,T,E]
+        """→ (outputs [B,T,H*dirs], h_n dict[(layer,dir)] = [B,H]).
+
+        T is truncated to the batch max length — exactly torch's
+        pack_padded/pad_packed semantics (the reference's pooled
+        outputs have T = batch max, rnn_networks.py:878-890), and ~6x
+        fewer recurrence steps when rows are much shorter than the
+        config maxlen."""
         lengths = np.asarray(lengths, dtype=np.int64)
+        t_max = max(int(lengths.max(initial=1)), 1)
+        if t_max < X.shape[1]:
+            X = X[:, :t_max]
+        inp = self.w["emb"][X]  # [B,T,E]
         h_n: dict[tuple[int, int], np.ndarray] = {}
         for layer in range(self.n_layers):
             out_f, h_f = self._run_direction(inp, lengths, layer, 0)

@@ -155,17 +155,49 @@ def candidate_pairs(
     key_col: str,
     *,
     max_block_size: int = 200,
+    salt_threshold: int = 32,
     n_salt: int = 8,
     **key_kwargs,
 ) -> DataFrame:
-    """Self-join dedup-style pairs (id1 < id2) within one table."""
+    """Self-join dedup-style pairs (id1 < id2) within one table, with
+    two-tier skew handling (north_rule: salted blocking keys):
+
+    - blocks larger than ``max_block_size`` → dropped (hot-key cap);
+    - blocks in (``salt_threshold``, ``max_block_size``] → SALTED
+      self-join: the right side keeps its deterministic salt
+      ``pmod(xxhash64(id), n_salt)``, the left side is replicated
+      across all salts, so one s-member block lands on n_salt reducers
+      of ~s·s/n_salt work instead of one s² reducer. Pair coverage is
+      complete (every (a,b) meets where t == salt(b)).
+    - blocks ≤ ``salt_threshold`` → plain self-join (no replication
+      cost for the overwhelmingly common small blocks).
+    """
     keys = blocking_keys(df, id_col, key_col, **key_kwargs)
-    keys = _cap_hot_keys(keys, max_block_size)
-    pairs = (
-        keys.alias("a")
-        .join(keys.alias("b"), "block_key")
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
+    keys = keys.join(
+        sizes.where(F.col("_bs") <= max_block_size), "block_key"
+    )
+
+    small = keys.where(F.col("_bs") <= salt_threshold).drop("_bs")
+    small_pairs = (
+        small.alias("a")
+        .join(small.alias("b"), "block_key")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
     )
-    return pairs
+
+    hot = keys.where(F.col("_bs") > salt_threshold).drop("_bs")
+    hot_r = hot.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
+    )
+    hot_l = hot.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    hot_pairs = (
+        hot_l.alias("a")
+        .join(hot_r.alias("b"), ["block_key", "_salt"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+
+    return small_pairs.unionByName(hot_pairs).distinct()
