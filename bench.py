@@ -43,6 +43,10 @@ def build_spark(cores: int, shuffle_partitions: int | None = None):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # single-JVM local mode: G1's concurrent cycles thrash at 32
+        # busy threads (measured 1.7x slowdown on the blocking join);
+        # throughput-oriented ParallelGC fits batch jobs better here
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .appName("deezymatch-spark-bench")

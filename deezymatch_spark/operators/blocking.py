@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.hashing import lsh_band_keys, minhash_base, minhash_from_base
 from ..functions.ngrams import distinct_char_ngrams, prefix_ngram_keys, word_tokens
 
-__all__ = ["blocking_keys", "block_join", "candidate_pairs"]
+__all__ = ["blocking_keys", "block_join", "candidate_pairs", "scored_candidate_pairs"]
 
 
 def blocking_keys(
@@ -41,6 +41,7 @@ def blocking_keys(
     minhash_grams: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    payload: bool = False,
 ) -> DataFrame:
     """→ DataFrame[id, block_key] (exploded, per-doc distinct).
 
@@ -54,9 +55,13 @@ def blocking_keys(
       hot-key capping of common ngrams costs at scale.
     """
     s = F.col(key_col)
+    # payload=True carries the key string in every key row so fused
+    # consumers (scored_candidate_pairs) never join back to the docs
+    pay = [s.alias("_k")] if payload else []
     gram_keys = df.select(
         F.col(id_col).alias("id"),
         F.explode(prefix_ngram_keys(s, ngram, prefix_len)).alias("block_key"),
+        *pay,
     ).withColumn("block_key", F.concat(F.lit("g:"), F.col("block_key")))
 
     out = gram_keys
@@ -64,6 +69,7 @@ def blocking_keys(
         word_keys = df.select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(word_tokens(s))).alias("block_key"),
+            *pay,
         ).withColumn("block_key", F.concat(F.lit("w:"), F.col("block_key")))
         out = out.unionByName(word_keys)
 
@@ -79,13 +85,18 @@ def blocking_keys(
             minhash_base(
                 distinct_char_ngrams(s, minhash_grams), base_hash="xxhash64"
             ).alias("_bh"),
+            *pay,
         )
-        .select("id", minhash_from_base(F.col("_bh"), num_hashes).alias("_mh"))
+        .select(
+            "id", minhash_from_base(F.col("_bh"), num_hashes).alias("_mh"),
+            *(["_k"] if payload else []),
+        )
         .select(
             "id",
             F.explode(lsh_band_keys(F.col("_mh"), bands, rows_per_band)).alias(
                 "block_key"
             ),
+            *(["_k"] if payload else []),
         )
         .withColumn("block_key", F.concat(F.lit("m:"), F.col("block_key")))
     )
@@ -149,14 +160,80 @@ def block_join(
     return pairs
 
 
+def scored_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    lev_max: int = 2,
+    max_block_size: int = 200,
+    salt_threshold: int = 1000,
+    n_salt: int = 8,
+    persist_keys: bool = True,
+    **key_kwargs,
+) -> DataFrame:
+    """Fused blocking + edit-distance scoring self-join →
+    [id1, id2, t1, t2, lev] with lev <= lev_max, each pair once.
+
+    Why fused (measured at 1M docs): the unfused plan materializes the
+    full blocked pair set (~43M rows), distincts it, then joins the
+    strings back twice — three full-size shuffles. Here the key rows
+    CARRY the (short) key string, the join condition pre-filters on
+    ``abs(len1-len2) <= lev_max`` (lossless: an edit distance of k
+    changes length by at most k), and the codegen Levenshtein gate runs
+    map-side BEFORE the dedup shuffle — so the only full-size work is
+    map-side expression evaluation and the shuffled dedup sees ~2% of
+    the pairs. Same result set as candidate_pairs + join + lev filter.
+    """
+    keys = blocking_keys(df, id_col, key_col, payload=True, **key_kwargs).withColumn(
+        "_len", F.length("_k")
+    )
+    if persist_keys:
+        keys = keys.persist()
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
+    keys = keys.join(sizes.where(F.col("_bs") <= max_block_size), "block_key")
+
+    def join_score(lhs, rhs, extra_key):
+        cond = (
+            (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= lev_max)
+        )
+        joined = lhs.alias("a").join(
+            rhs.alias("b"), [F.col("a.block_key") == F.col("b.block_key")]
+            + ([F.col("a._salt") == F.col("b._salt")] if extra_key else []),
+        ).where(cond)
+        return (
+            joined.select(
+                F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.col("a._k").alias("t1"), F.col("b._k").alias("t2"),
+            )
+            .withColumn("lev", F.levenshtein(F.col("t1"), F.col("t2"), lev_max + 1))
+            .where((F.col("lev") >= 0) & (F.col("lev") <= lev_max))
+        )
+
+    small = keys.where(F.col("_bs") <= salt_threshold).drop("_bs")
+    out = join_score(small, small, extra_key=False)
+
+    hot = keys.where(F.col("_bs") > salt_threshold).drop("_bs")
+    hot_r = hot.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
+    )
+    hot_l = hot.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = out.unionByName(join_score(hot_l, hot_r, extra_key=True))
+    return out.dropDuplicates(["id1", "id2"])
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
     key_col: str,
     *,
     max_block_size: int = 200,
-    salt_threshold: int = 32,
+    salt_threshold: int = 1000,
     n_salt: int = 8,
+    persist_keys: bool = True,
     **key_kwargs,
 ) -> DataFrame:
     """Self-join dedup-style pairs (id1 < id2) within one table, with
@@ -171,8 +248,23 @@ def candidate_pairs(
       complete (every (a,b) meets where t == salt(b)).
     - blocks ≤ ``salt_threshold`` → plain self-join (no replication
       cost for the overwhelmingly common small blocks).
+
+    Default ``salt_threshold`` exceeds the default cap on purpose: a
+    block of a few hundred members is NOT a skew problem (s² pairs ≪ a
+    reducer's fair share) and salting it costs an n_salt× left-side
+    replication for nothing (measured 4× slowdown at 200k docs when
+    salting 33-100-member blocks). Lower the threshold only alongside a
+    much larger ``max_block_size``, where single blocks really can
+    dominate a reducer.
     """
     keys = blocking_keys(df, id_col, key_col, **key_kwargs)
+    if persist_keys:
+        # keys feeds 4 branches (sizing, small join both sides, salted
+        # join both sides); persisting avoids recomputing the ngram/
+        # minhash explode per branch. ~tens of bytes/key — spills to
+        # disk if it outgrows memory. Disable at extreme scale to trade
+        # recompute for storage.
+        keys = keys.persist()
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
     keys = keys.join(
         sizes.where(F.col("_bs") <= max_block_size), "block_key"

@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.udfs import jaro_winkler_udf, normalize_udf
-from .operators.blocking import candidate_pairs
+from .operators.blocking import candidate_pairs, scored_candidate_pairs
 from .operators.cc import connected_components
 from .sources.pages import extract_title, generate_pages
 
@@ -70,10 +70,13 @@ def _materialize(
         return df
     path = _stage_path(work_dir, name)
     if not _is_done(path):
+        t0 = time.time()
         df.write.mode("overwrite").parquet(path)
         stage_metrics(spark.read.parquet(path), name).write.mode("append").parquet(
             os.path.join(work_dir, "metrics")
         )
+        if os.environ.get("DZM_STAGE_TIMING"):
+            print(f"[stage {name}] {time.time() - t0:.1f}s")
     return spark.read.parquet(path)
 
 
@@ -101,31 +104,34 @@ def er_stages(
         extract_title(F.col("html")).alias("title"),
     ).withColumn("title_norm", normalize_udf(F.col("title")))
     docs = _materialize(spark, docs, work_dir, "s0_extract")
+    if work_dir is None:
+        # docs is referenced by 6+ downstream branches (key building,
+        # block sizing, both sides of the scoring joins); without a
+        # materialization each branch re-runs the Python source + NFKD
+        # UDF (measured: 48 ArrowEvalPython nodes in the pair plan).
+        # work_dir mode gets this for free from the parquet checkpoint.
+        docs = docs.persist()
 
-    # S1 — blocking (salted, hot-key capped) -> candidate pairs
-    pairs = candidate_pairs(
-        docs, "id", "title_norm", max_block_size=max_block_size, ngram=ngram
-    )
-    pairs = _materialize(spark, pairs, work_dir, "s1_pairs")
-
-    # S2 — pairwise scoring. Lookup sides are the (small relative to
-    # pairs) docs projection; Catalyst/AQE broadcasts when it fits.
-    # The JVM-side Levenshtein gate (whole-stage codegen, with
-    # early-exit threshold) runs BEFORE the Python JW UDF so the Arrow
-    # boundary only sees the tiny surviving fraction of the pair set.
-    t = docs.select("id", "title_norm")
-    scored = (
-        pairs.join(
-            t.select(F.col("id").alias("id1"), F.col("title_norm").alias("t1")), "id1"
-        )
-        .join(t.select(F.col("id").alias("id2"), F.col("title_norm").alias("t2")), "id2")
-        .withColumn("lev", F.levenshtein(F.col("t1"), F.col("t2"), lev_max + 1))
-        .where((F.col("lev") >= 0) & (F.col("lev") <= lev_max))
-        .withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
-    )
+    # S1+S2 fused — blocking (salted, hot-key capped) + length gate in
+    # the join condition + codegen Levenshtein gate BEFORE the dedup
+    # shuffle (see scored_candidate_pairs: the unfused variant cost 3
+    # full-size shuffles of the 40M-row blocked pair set). The Python
+    # JW UDF then only sees the ~2% of pairs that survive the gates.
+    scored = scored_candidate_pairs(
+        docs, "id", "title_norm",
+        lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
+    ).withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
     if pair_scorer is not None:
         scored = scored.withColumn("p1", pair_scorer(F.col("t1"), F.col("t2")))
     scored = _materialize(spark, scored, work_dir, "s2_scored")
+
+    # unfused blocked-pair universe, built lazily for eval/inspection
+    # (er_f1_eval scores F1 over ALL blocked pairs, pre-lev-gate);
+    # not materialized — computed only if a caller runs an action on it
+    pairs = candidate_pairs(
+        docs, "id", "title_norm", max_block_size=max_block_size, ngram=ngram,
+        persist_keys=False,
+    )
 
     # S3 — match filter
     matches = scored.where(F.col("jw") >= jw_threshold)

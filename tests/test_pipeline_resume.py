@@ -18,13 +18,13 @@ def test_pipeline_checkpoints_and_metrics(spark, tmp_path):
     # all stages persisted
     stages = sorted(d for d in os.listdir(wd) if d.startswith("stage_"))
     assert stages == [
-        "stage_s0_extract", "stage_s1_pairs", "stage_s2_scored",
+        "stage_s0_extract", "stage_s2_scored",
         "stage_s3_matches", "stage_s4_components", "stage_s5_clusters",
     ]
     # per-partition lineage metrics written for every stage
     m = spark.read.parquet(os.path.join(wd, "metrics"))
     assert set(r.stage for r in m.select("stage").distinct().collect()) == {
-        "s0_extract", "s1_pairs", "s2_scored", "s3_matches",
+        "s0_extract", "s2_scored", "s3_matches",
         "s4_components", "s5_clusters",
     }
     total_docs = (
