@@ -21,7 +21,7 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions.udfs import normalize_udf
+from .functions.udfs import normalize_udf, tokenize_udf
 from .model.numpy_rnn import SiameseRNN
 from .model.scorer_udf import (
     load_artifacts,
@@ -33,7 +33,7 @@ from .model.scorer_udf import (
 from .operators.ranker import candidate_ranker as _ranker
 from .operators.split import train_val_test_split
 from .sources.tsv import read_pairs_tsv
-from .text import Vocabulary, string_split
+from .text import Vocabulary
 
 SEED = 1364  # DeezyMatch.py:33
 
@@ -110,32 +110,47 @@ def train(
 
     # A2 vocab build over the train split, both columns, insertion order
     # = first occurrence in corpus order (data_processing.py:163-164).
-    train_rows = (
-        pairs.where(F.col("split") == "train")
-        .select("original_index", "s1_norm", "s2_norm")
-        .orderBy("original_index")
+    # Distributed: tokenize on executors, first-seen ordering via a
+    # min() over (row, side, position) — only the (small) distinct
+    # vocab is collected, never the train rows. A driver-side collect
+    # of the split would cap training data at driver memory.
+    tk = {k: cfg[k] for k in ("tokenize", "min_gram", "max_gram", "token_sep", "prefix_suffix")}
+    tok_udf = tokenize_udf(**tk)
+    train_df = pairs.where(F.col("split") == "train")
+    toks = train_df.select(
+        "original_index",
+        F.posexplode(
+            F.concat(tok_udf(F.col("s1_norm")), tok_udf(F.col("s2_norm")))
+        ).alias("pos", "token"),
+    )
+    # first occurrence in corpus order: row-major, s1 tokens before s2
+    # within a row (the concat preserves that), position within row
+    first_seen = (
+        toks.groupBy("token")
+        .agg(F.min(F.col("original_index") * 1_000_000 + F.col("pos")).alias("_fs"))
+        .orderBy("_fs")
+        .select("token")
         .collect()
     )
     vocab = Vocabulary(model_name)
-    tk = {k: cfg[k] for k in ("tokenize", "min_gram", "max_gram", "token_sep", "prefix_suffix")}
-    for r in train_rows:
-        vocab.add_tokens(string_split(r.s1_norm, **tk))
-        vocab.add_tokens(string_split(r.s2_norm, **tk))
+    vocab.add_tokens([r.token for r in first_seen])
 
     model = SiameseRNN.from_seed(
         SEED, vocab.n_tok, architecture=architecture, hidden_dim=hidden_dim,
         embedding_dim=embedding_dim, n_layers=n_layers, pooling_mode=pooling_mode,
     )
 
-    # head fit on a bounded driver-side sample of the train split
+    # head fit on a bounded driver-side sample of the train split —
+    # the only data that ever reaches the driver
     import pandas as pd
 
-    sample = train_rows[:max_head_sample]
-    labels = np.array(
-        [r.label for r in pairs.where(F.col("split") == "train")
-         .select("label").orderBy("original_index").limit(len(sample)).collect()],
-        dtype=np.int64,
+    sample = (
+        train_df.select("original_index", "s1_norm", "s2_norm", "label")
+        .orderBy("original_index")
+        .limit(max_head_sample)
+        .collect()
     )
+    labels = np.array([r.label for r in sample], dtype=np.int64)
     feats = pair_features_batch(
         model, vocab.tok2index, cfg,
         pd.Series([r.s1_norm for r in sample]),
