@@ -115,6 +115,16 @@ class SiameseRNN:
         k2 = 1.0 / np.sqrt(fc1_out)
         w["fc2_W"] = rng.uniform(-k2, k2, (output_dim, fc1_out))
         w["fc2_b"] = rng.uniform(-k2, k2, output_dim)
+        # attention MLP (rnn_networks.py:843-846) — created for every
+        # pooling mode like the reference; drawn last so the rng stream
+        # for the other parameters is unchanged
+        a_in = hidden_dim * dirs
+        ka = 1.0 / np.sqrt(a_in)
+        w["attn1_W"] = rng.uniform(-ka, ka, (embedding_dim, a_in))
+        w["attn1_b"] = rng.uniform(-ka, ka, embedding_dim)
+        ka2 = 1.0 / np.sqrt(embedding_dim)
+        w["attn2_W"] = rng.uniform(-ka2, ka2, (1, embedding_dim))
+        w["attn2_b"] = rng.uniform(-ka2, ka2, 1)
         return cls(
             w, architecture=architecture, hidden_dim=hidden_dim,
             embedding_dim=embedding_dim, n_layers=n_layers,
@@ -243,6 +253,19 @@ class SiameseRNN:
     def _pool(self, outputs, h_n, lengths):
         last = self.n_layers - 1
         p = self.pooling
+        if p == "attention":
+            # per-timestep 2-layer MLP → softmax over TIME → weighted
+            # sum of outputs (rnn_networks.py:920-940). The reference
+            # does NOT mask padded steps: their rnn_out rows are zeros
+            # (pad_packed), so their attention logit is the bias path —
+            # reproduced exactly (outputs beyond length are zeroed in
+            # _run_direction).
+            a1 = np.maximum(outputs @ self.w["attn1_W"].T + self.w["attn1_b"], 0.0)
+            logits = (a1 @ self.w["attn2_W"].T + self.w["attn2_b"])[:, :, 0]  # [B,T]
+            logits = logits - logits.max(axis=1, keepdims=True)
+            e = np.exp(logits)
+            wts = e / e.sum(axis=1, keepdims=True)
+            return (wts[:, :, None] * outputs).sum(axis=1)
         if p in ("average", "max", "maximum"):
             # adaptive pool over the TIME axis of padded outputs — the
             # reference pools over pad_packed_sequence output whose T is

@@ -124,3 +124,26 @@ def test_save_load_roundtrip(tmp_path):
     L = np.array([4])
     np.testing.assert_array_equal(m.encode(X, L), m2.encode(X, L))
     assert m2.arch == "gru" and m2.pooling == "hstates_layers_simple"
+
+
+def test_attention_pooling():
+    m = SiameseRNN.from_seed(9, vocab_size=15, pooling_mode="attention")
+    rng = np.random.Generator(np.random.Philox(2))
+    X1 = rng.integers(1, 15, (5, 9)).astype(np.int64)
+    X2 = rng.integers(1, 15, (5, 9)).astype(np.int64)
+    L = np.full(5, 9, dtype=np.int64)
+    p0, p1, pred = m.classify(X1, L, X2, L)
+    np.testing.assert_allclose(p0 + p1, 1.0, atol=1e-6)
+    # fc1 width for the attention family is 4 * H * dirs
+    assert m.w["fc1_W"].shape[1] == 4 * 60 * 2
+    # T=1 sequences: softmax over a single step is 1.0, so the pooled
+    # vector equals the single output step — classify must not NaN
+    X = np.array([[3]], dtype=np.int64)
+    q0, q1, _ = m.classify(X, np.array([1]), X, np.array([1]))
+    np.testing.assert_allclose(q0 + q1, 1.0, atol=1e-6)
+
+
+def test_attention_weights_do_not_disturb_other_modes():
+    # drawing attn params last keeps the rng stream of hstates modes
+    a = SiameseRNN.from_seed(4, vocab_size=12, pooling_mode="hstates_layers_simple")
+    assert "attn1_W" in a.w and a.w["attn2_W"].shape == (1, 60)
