@@ -272,6 +272,38 @@ def q_ranker_full(spark, sf):
     )
 
 
+def q_ranker_blocked(spark, sf):
+    """Scale path: ngram-blocked pair generation feeds candidate_ranker
+    via ``pairs=`` — no cross join anywhere in the plan."""
+    from deezymatch_spark.operators.blocking import blocking_keys
+
+    q, c = _ranker_tables(spark, sf)
+    qk = blocking_keys(
+        q.select("id", "key_norm"), "id", "key_norm",
+        ngram=3, prefix_len=12, use_minhash=False, use_words=False,
+    ).withColumnRenamed("id", "query_id")
+    ck = blocking_keys(
+        c.select("id", "key_norm"), "id", "key_norm",
+        ngram=3, prefix_len=12, use_minhash=False, use_words=False,
+    ).withColumnRenamed("id", "candidate_id")
+    pairs = qk.join(ck, "block_key").select("query_id", "candidate_id").distinct()
+    r = candidate_ranker(
+        q, c,
+        ranking_metric="faiss",
+        selection_threshold=RANKER_THRESHOLD,
+        num_candidates=RANKER_K,
+        search_size=10,
+        length_diff=RANKER_LENGTH_DIFF,
+        pairs=pairs,
+    )
+    return r.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "candidate_id",
+        F.round("faiss_dist", 6).alias("faiss_dist"),
+    )
+
+
 def q_cc_components(spark, sf):
     e = _t(spark, sf, "embeddings")
     a, b = e.alias("a"), e.alias("b")
@@ -529,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_l2_topk": q_sq_l2_topk,
         "cosine_topk": q_cosine_topk,
         "ranker_topk": q_ranker_topk,
+        "ranker_blocked": q_ranker_blocked,
         "ranker_full": q_ranker_full,
         "cc_components": q_cc_components,
         "train_split": q_train_split,
@@ -648,6 +681,27 @@ def oracle_sql() -> dict[str, str]:
             c as (select id cid, key ck, key_norm cn, vec cv from base),
             s as (select qid, cid, ck, {_d_sq_l2("qv", "cv", EMB_DIM)} as dist, qn, cn
                   from q, c),
+            flt as (select * from s
+                    where abs(length(qn) - length(cn)) <= {RANKER_LENGTH_DIFF}
+                      and dist <= {RANKER_THRESHOLD}),
+            dd as (select *, row_number() over (partition by qid, ck order by dist asc, cid asc) as dn
+                   from flt),
+            rk as (select qid as query_id, cid as candidate_id, dist,
+                     row_number() over (partition by qid order by dist asc, cid asc) as rank
+                   from dd where dn = 1)
+            select query_id, rank, candidate_id, round(dist, 6) as faiss_dist
+            from rk where rank <= {RANKER_K}""",
+        "ranker_blocked": f"""
+            with base as (select doc_id as id, text as key, lower(trim(text)) as key_norm,
+                                 embedding as vec
+                          from documents join embeddings on doc_id = vec_id),
+            q as (select id qid, key qk, key_norm qn, vec qv from base where id < 20),
+            c as (select id cid, key ck, key_norm cn, vec cv from base),
+            qkeys as (select qid, unnest(list_distinct({_d_grams("substr(qn,1,12)", 3)})) as bk from q),
+            ckeys as (select cid, unnest(list_distinct({_d_grams("substr(cn,1,12)", 3)})) as bk from c),
+            prs as (select distinct qid, cid from qkeys join ckeys using(bk)),
+            s as (select q.qid, c.cid, c.ck, {_d_sq_l2("qv", "cv", EMB_DIM)} as dist, qn, cn
+                  from prs join q using(qid) join c using(cid)),
             flt as (select * from s
                     where abs(length(qn) - length(cn)) <= {RANKER_LENGTH_DIFF}
                       and dist <= {RANKER_THRESHOLD}),
