@@ -460,6 +460,27 @@ def q_classification_metrics(spark, sf):
     )
 
 
+def q_near_dedup_docs(spark, sf):
+    """Full near-dedup (LSH pairs → CC → keep min-id representative);
+    rows-only (transitive closure is not SQL-expressible)."""
+    from deezymatch_spark.operators import near_dedup
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < NEARDUP_LIMIT)
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    both = (
+        d.select("doc_id", "text")
+        .unionByName(mutated)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return near_dedup(
+        both, "doc_id", "text",
+        gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
+    ).select("doc_id")
+
+
 def q_events_hourly(spark, sf):
     e = _t(spark, sf, "events")
     return e.groupBy(
@@ -571,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "near_dedup_docs": q_near_dedup_docs,
         "events_hourly": q_events_hourly,
         "map_metric": q_map_metric,
         "classification_metrics": q_classification_metrics,

@@ -147,3 +147,23 @@ def test_attention_weights_do_not_disturb_other_modes():
     # drawing attn params last keeps the rng stream of hstates modes
     a = SiameseRNN.from_seed(4, vocab_size=12, pooling_mode="hstates_layers_simple")
     assert "attn1_W" in a.w and a.w["attn2_W"].shape == (1, 60)
+
+
+def test_all_architectures_and_poolings_classify():
+    rng = np.random.Generator(np.random.Philox(6))
+    X1 = rng.integers(1, 12, (3, 7)).astype(np.int64)
+    X2 = rng.integers(1, 12, (3, 7)).astype(np.int64)
+    L = np.full(3, 7, dtype=np.int64)
+    for arch in ("gru", "lstm", "rnn"):
+        for pool in ("attention", "average", "max", "hstates",
+                     "hstates_layers", "hstates_layers_simple",
+                     "hstates_subtract", "hstates_l2_distance",
+                     "hstates_cosine"):
+            m = SiameseRNN.from_seed(2, 12, architecture=arch,
+                                     hidden_dim=8, embedding_dim=6,
+                                     pooling_mode=pool)
+            p0, p1, pred = m.classify(X1, L, X2, L)
+            assert np.all(np.isfinite(p1)), (arch, pool)
+            if pool != "hstates_cosine":  # cosine returns raw [1-cos, cos]
+                np.testing.assert_allclose(p0 + p1, 1.0, atol=1e-5,
+                                           err_msg=f"{arch}/{pool}")
