@@ -62,8 +62,10 @@ def sf_of(sf_dir: str) -> float:
 
 
 def pages_for_sf(sf: float) -> int:
-    # 500 pages at sf0.001 (matches driver documents size), 10x per step
-    return max(500, int(500_000 * sf))
+    # 2,000 pages at sf0.001, 10x per step (200k at sf0.1): large
+    # enough that the pipeline's ~20s fixed latency (worker pools,
+    # stage barriers, CC rounds) doesn't dominate the docs/sec number
+    return max(2000, int(2_000_000 * sf))
 
 
 def bench_pairwise_scoring(spark, n_pages: int) -> tuple[int, float]:
@@ -93,7 +95,9 @@ def bench_pairwise_scoring(spark, n_pages: int) -> tuple[int, float]:
         )
         api.train(spark, train_pairs, "deezymatch_bench_model", models_dir="/tmp")
 
-    n_side = max(n_pages // 2, 2000)
+    # fixed ~100k pairs regardless of sf — comparable to the
+    # reference's 66.9k-pair wikigaz benchmark (BASELINE.md)
+    n_side = 25_000
     big = generate_pages(spark, n_side, with_truth=True).select(
         F.xxhash64("url").alias("id"), "title", "cluster_id"
     )
