@@ -121,6 +121,23 @@ def _d_dot(a: str, b: str, dim: int) -> str:
 
 EMB_DIM = 64
 
+
+def _d_lsh_planes(dim: int, num_planes: int, num_tables: int, seed: int = 1364) -> str:
+    """VALUES rows (t, p, pl double[]) replicating lsh_topk's Philox
+    hyperplane sequence — the planes are plan constants in Spark, so
+    inlining the same doubles (repr round-trips exactly) makes the
+    sign-LSH bucket assignment DuckDB-expressible."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(seed))
+    rows = []
+    for t in range(num_tables):
+        planes = rng.standard_normal((num_planes, dim))
+        for p in range(num_planes):
+            lst = ", ".join(repr(float(v)) for v in planes[p])
+            rows.append(f"({t}, {p}, [{lst}]::double[])")
+    return ",\n              ".join(rows)
+
 # ---------------------------------------------------------------- queries
 
 
@@ -339,8 +356,11 @@ def q_vocab_build(spark, sf):
             "pos", "token"
         ),
     )
+    # struct-min first-seen (overflow/collision-proof — see api.train);
+    # identical order to the oracle's doc_id*1e6+pos packing because
+    # pos < 1e6 on this data, so the lexicographic and packed orders agree
     firsts = chars.groupBy("token").agg(
-        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_seen"),
+        F.min(F.struct("doc_id", "pos")).alias("first_seen"),
         F.count("*").cast("long").alias("tok_count"),
     )
     w = Window.orderBy(F.col("first_seen"))
@@ -451,11 +471,14 @@ def q_classification_metrics(spark, sf):
         (F.col("vec_id") % 3 == 0).cast("int").alias("label"),
         (F.element_at("embedding", 1) > 0).cast("int").alias("prediction"),
     )
+    # ratios as BIGINT micros: round(x, 6) emits a double whose decimal
+    # serialization the driver's hasher may format differently per
+    # engine (r1's only red cell); integers hash representation-stably
     return classification_metrics(e).select(
-        F.round("accuracy", 6).alias("accuracy"),
-        F.round("precision", 6).alias("precision"),
-        F.round("recall", 6).alias("recall"),
-        F.round("f1", 6).alias("f1"),
+        F.round(F.col("accuracy") * 1e6, 0).cast("long").alias("accuracy_micro"),
+        F.round(F.col("precision") * 1e6, 0).cast("long").alias("precision_micro"),
+        F.round(F.col("recall") * 1e6, 0).cast("long").alias("recall_micro"),
+        F.round(F.col("f1") * 1e6, 0).cast("long").alias("f1_micro"),
         "tp", "fp", "fn", "tn",
     )
 
@@ -492,7 +515,9 @@ def q_events_hourly(spark, sf):
     )
 
 
-# ------- rows-only (non-SQL-expressible: NFKD parity, LSH ANN, pipeline)
+# ------- NFKD parity (rows-only: DuckDB lacks NFKD), ANN, multimodal,
+# ------- pipeline. lsh/ivf_ann_topk ARE oracle-checked (deterministic
+# ------- planes/centroids inlined into the DuckDB SQL).
 
 
 def q_normalize_nfkd(spark, sf):
@@ -512,7 +537,8 @@ def q_ivf_ann_topk(spark, sf):
     ).select(
         "query_id", "candidate_id",
         F.col("rank").cast("long").alias("rank"),
-        F.round("dist", 6).alias("dist"),
+        # +0.0 normalizes IEEE -0.0 (self-match cosine dist rounds to -0)
+        (F.round("dist", 6) + F.lit(0.0)).alias("dist"),
     )
 
 
@@ -547,7 +573,7 @@ def q_lsh_ann_topk(spark, sf):
     ).select(
         "query_id", "candidate_id",
         F.col("rank").cast("long").alias("rank"),
-        F.round("dist", 6).alias("dist"),
+        (F.round("dist", 6) + F.lit(0.0)).alias("dist"),
     )
 
 
@@ -824,11 +850,11 @@ def oracle_sql() -> dict[str, str]:
                     sum(case when y=0 and p=0 then 1 else 0 end) as tn
                   from s)
             select
-              round((tp+tn)::double / greatest(tp+fp+fn+tn, 1), 6) as accuracy,
-              round(tp::double / greatest(tp+fp, 1), 6) as precision,
-              round(tp::double / greatest(tp+fn, 1), 6) as recall,
-              round(2.0 * (tp::double/greatest(tp+fp,1)) * (tp::double/greatest(tp+fn,1))
-                / greatest((tp::double/greatest(tp+fp,1)) + (tp::double/greatest(tp+fn,1)), 1e-12), 6) as f1,
+              cast(round((tp+tn)::double / greatest(tp+fp+fn+tn, 1) * 1e6) as bigint) as accuracy_micro,
+              cast(round(tp::double / greatest(tp+fp, 1) * 1e6) as bigint) as precision_micro,
+              cast(round(tp::double / greatest(tp+fn, 1) * 1e6) as bigint) as recall_micro,
+              cast(round(2.0 * (tp::double/greatest(tp+fp,1)) * (tp::double/greatest(tp+fn,1))
+                / greatest((tp::double/greatest(tp+fp,1)) + (tp::double/greatest(tp+fn,1)), 1e-12) * 1e6) as bigint) as f1_micro,
               tp, fp, fn, tn
             from c""",
         "doc_fingerprints": f"""
@@ -882,4 +908,62 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
             from events group by 1, 2""",
+        "ivf_ann_topk": f"""
+            with c as (select vec_id as cid, embedding as cv from embeddings),
+            q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 20),
+            cent as (
+              select row_number() over (order by h, cid) as list_id, cv as centv
+              from (select cid, cv,
+                      cast('0x'||substr(md5(cast(cid as varchar)),1,15) as bigint) as h
+                    from c)
+              order by h, cid limit 8),
+            ca as (select cid, cv, list_id from (
+                select c.cid, c.cv, cent.list_id,
+                  row_number() over (partition by c.cid order by
+                    1.0 - ({_d_dot("cv", "centv", EMB_DIM)})
+                      / (sqrt({_d_dot("cv", "cv", EMB_DIM)})
+                         * sqrt({_d_dot("centv", "centv", EMB_DIM)})) asc,
+                    cent.list_id asc) as rn
+                from c, cent) where rn = 1),
+            qa as (select qid, qv, list_id from (
+                select q.qid, q.qv, cent.list_id,
+                  row_number() over (partition by q.qid order by
+                    1.0 - ({_d_dot("qv", "centv", EMB_DIM)})
+                      / (sqrt({_d_dot("qv", "qv", EMB_DIM)})
+                         * sqrt({_d_dot("centv", "centv", EMB_DIM)})) asc,
+                    cent.list_id asc) as rn
+                from q, cent) where rn <= 3),
+            s as (select qid, cid,
+                    1.0 - ({dotqc}) / (sqrt({dotqq}) * sqrt({dotcc})) as dist
+                  from qa join ca using (list_id)),
+            r as (select qid as query_id, cid as candidate_id, dist,
+                    row_number() over (partition by qid order by dist asc, cid asc) as rank
+                  from s)
+            select query_id, candidate_id, rank, round(dist, 6) + 0.0 as dist
+            from r where rank <= 5""",
+        "lsh_ann_topk": f"""
+            with c as (select vec_id as cid, embedding as cv from embeddings),
+            q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 20),
+            planes(t, p, pl) as (values {_d_lsh_planes(EMB_DIM, 6, 2)}),
+            sq as (select t, qid,
+                     string_agg(case when
+                       list_reduce(list_prepend(0.0, list_transform(
+                         generate_series(1,{EMB_DIM}), i -> qv[i]::double * pl[i])),
+                         (x,y) -> x+y) >= 0 then '1' else '0' end, '' order by p) as sig
+                   from q, planes group by t, qid),
+            sc as (select t, cid,
+                     string_agg(case when
+                       list_reduce(list_prepend(0.0, list_transform(
+                         generate_series(1,{EMB_DIM}), i -> cv[i]::double * pl[i])),
+                         (x,y) -> x+y) >= 0 then '1' else '0' end, '' order by p) as sig
+                   from c, planes group by t, cid),
+            u as (select distinct qid, cid from sq join sc using (t, sig)),
+            s as (select qid, cid,
+                    1.0 - ({dotqc}) / (sqrt({dotqq}) * sqrt({dotcc})) as dist
+                  from u join q using (qid) join c using (cid)),
+            r as (select qid as query_id, cid as candidate_id, dist,
+                    row_number() over (partition by qid order by dist asc, cid asc) as rank
+                  from s)
+            select query_id, candidate_id, rank, round(dist, 6) + 0.0 as dist
+            from r where rank <= 5""",
     }

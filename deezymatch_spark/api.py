@@ -125,9 +125,13 @@ def train(
     )
     # first occurrence in corpus order: row-major, s1 tokens before s2
     # within a row (the concat preserves that), position within row
+    # lexicographic struct-min, not arithmetic packing: original_index
+    # comes from monotonically_increasing_id (partitionId << 33 | row),
+    # so idx * 1e6 + pos would overflow int64 past ~1073 partitions and
+    # collide for >1M-token rows; struct comparison has neither failure.
     first_seen = (
         toks.groupBy("token")
-        .agg(F.min(F.col("original_index") * 1_000_000 + F.col("pos")).alias("_fs"))
+        .agg(F.min(F.struct("original_index", "pos")).alias("_fs"))
         .orderBy("_fs")
         .select("token")
         .collect()

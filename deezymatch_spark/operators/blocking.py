@@ -26,7 +26,30 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.hashing import lsh_band_keys, minhash_base, minhash_from_base
 from ..functions.ngrams import distinct_char_ngrams, prefix_ngram_keys, word_tokens
 
-__all__ = ["blocking_keys", "block_join", "candidate_pairs", "scored_candidate_pairs"]
+__all__ = [
+    "blocking_keys",
+    "block_join",
+    "candidate_pairs",
+    "scored_candidate_pairs",
+    "release_persisted",
+]
+
+
+def _attach_persisted(out: DataFrame, handle: DataFrame) -> DataFrame:
+    """Record a persisted upstream frame on the result so callers can
+    release the cache once the output is materialized (persisted keys
+    otherwise pin executor storage for the session's lifetime)."""
+    out._dzm_persisted = handle  # type: ignore[attr-defined]
+    return out
+
+
+def release_persisted(df: DataFrame) -> None:
+    """Unpersist any cache attached by ``_attach_persisted`` (no-op
+    otherwise). Call after the consumer has written/collected ``df``."""
+    handle = getattr(df, "_dzm_persisted", None)
+    if handle is not None:
+        handle.unpersist()
+        df._dzm_persisted = None  # type: ignore[attr-defined]
 
 
 def blocking_keys(
@@ -188,8 +211,10 @@ def scored_candidate_pairs(
     keys = blocking_keys(df, id_col, key_col, payload=True, **key_kwargs).withColumn(
         "_len", F.length("_k")
     )
+    persisted_handle = None
     if persist_keys:
         keys = keys.persist()
+        persisted_handle = keys
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
     keys = keys.join(sizes.where(F.col("_bs") <= max_block_size), "block_key")
 
@@ -222,7 +247,8 @@ def scored_candidate_pairs(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     out = out.unionByName(join_score(hot_l, hot_r, extra_key=True))
-    return out.dropDuplicates(["id1", "id2"])
+    out = out.dropDuplicates(["id1", "id2"])
+    return _attach_persisted(out, persisted_handle) if persisted_handle is not None else out
 
 
 def candidate_pairs(
@@ -258,6 +284,7 @@ def candidate_pairs(
     dominate a reducer.
     """
     keys = blocking_keys(df, id_col, key_col, **key_kwargs)
+    persisted_handle = None
     if persist_keys:
         # keys feeds 4 branches (sizing, small join both sides, salted
         # join both sides); persisting avoids recomputing the ngram/
@@ -265,6 +292,7 @@ def candidate_pairs(
         # disk if it outgrows memory. Disable at extreme scale to trade
         # recompute for storage.
         keys = keys.persist()
+        persisted_handle = keys
     sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
     keys = keys.join(
         sizes.where(F.col("_bs") <= max_block_size), "block_key"
@@ -292,4 +320,5 @@ def candidate_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
     )
 
-    return small_pairs.unionByName(hot_pairs).distinct()
+    out = small_pairs.unionByName(hot_pairs).distinct()
+    return _attach_persisted(out, persisted_handle) if persisted_handle is not None else out

@@ -11,10 +11,10 @@ search (DeezyMatch/candidateRanker.py:361-364). Two strategies:
   tunable via planes/tables.
 
 At 100 TB the brute-force plan is broadcast-join + per-partition
-window: one pass over candidates, no candidate shuffle at all when k
-is aggregated per query via a window over (query_id) — we instead
-pre-aggregate partial top-k per partition then global top-k, which
-keeps the shuffle at |queries|·k·partitions rows.
+partial top-k (``_partition_topk``) + global top-k: one pass over
+candidates, and the only shuffle carries |queries|·k·partitions rows.
+``ivf_topk`` assigns lists via literal-centroid argmin projections —
+zero shuffle before the final window.
 """
 
 from __future__ import annotations
@@ -29,6 +29,31 @@ __all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
 _METRICS = {"sq_l2": sq_l2, "cosine": cosine_dist}
 
 
+def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition partial top-k over a scored pair stream
+    [query_id, candidate_id, dist] — selection only, no arithmetic, so
+    the surviving rows carry bit-identical dist values (Arrow
+    round-trips doubles losslessly). Bounds the downstream shuffle to
+    |Q|·k rows per input partition instead of the full |Q|·|C| cross
+    product."""
+    out_schema = scored.schema
+
+    def topk_stream(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            cand = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            cand = cand.sort_values(
+                ["query_id", "dist", "candidate_id"], kind="mergesort"
+            )
+            acc = cand.groupby("query_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    return scored.mapInPandas(topk_stream, schema=out_schema)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -40,6 +65,7 @@ def brute_force_topk(
     c_id: str = "id",
     c_vec: str = "vec",
     broadcast_queries: bool = True,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """→ [query_id, candidate_id, dist, rank] exact top-k per query.
 
@@ -47,6 +73,15 @@ def brute_force_topk(
     (the reference's faiss search returns the query itself when query
     set == candidate set — the self-match-distance≈0 invariant,
     tests/test_pipeline_ngram.py:102-105).
+
+    Plan: broadcast the (small) query side, score candidates map-side
+    with the codegen'd distance, reduce each partition to its local
+    top-k (``_partition_topk``), THEN window globally. The global
+    shuffle therefore carries |Q|·k·partitions rows, never the |Q|·|C|
+    cross product — at 10^12 candidates the unreduced window exchange
+    would shuffle every scored pair. ``partial_topk=False`` restores
+    the single-window plan (cheaper for tiny candidate sets where the
+    Arrow hop dominates).
     """
     dist_fn = _METRICS[metric]
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
@@ -58,6 +93,8 @@ def brute_force_topk(
         "candidate_id",
         dist_fn(F.col("_qv"), F.col("_cv")).alias("dist"),
     )
+    if partial_topk:
+        scored = _partition_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("candidate_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -148,54 +185,59 @@ def ivf_topk(
     probes its ``n_probe`` closest lists and scores exactly inside them.
 
     Coarse centroids are picked deterministically from the candidate
-    set itself (the ``n_lists`` rows with smallest ``xxhash64(id)`` — a
-    seedless reservoir; kmeans refinement is unnecessary for bucketing
-    correctness). The centroid table is tiny and BROADCAST to both
-    assignment joins, so the only shuffle is the final per-query
-    window; candidate assignment is a map-side broadcast join even at
-    10^12 rows.
+    set itself — the ``n_lists`` rows with smallest
+    ``(md5_long(id), id)`` (a seedless reservoir; md5 keeps the whole
+    operator DuckDB-oracle-expressible; kmeans refinement is
+    unnecessary for bucketing correctness). The tiny centroid set is
+    collected once and inlined as plan-time LITERALS, so list
+    assignment is a single zero-shuffle projection: an
+    ``array_min`` argmin over an ``array<struct<dist, list_id>>`` of
+    codegen'd distances. No join, no Exchange — at 10^12 candidates
+    the previous window-based argmin would have shuffled
+    |C|·n_lists rows. Query probing is the same projection with
+    ``array_sort`` + ``slice`` (top ``n_probe`` lists).
+
+    Eager at plan-build time: collecting the n_lists centroid rows
+    runs one tiny Spark job.
     """
     dist_fn = _METRICS[metric]
     c = candidates.select(F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv"))
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
 
-    cent = (
-        c.withColumn("_h", F.xxhash64("candidate_id"))
-        .orderBy("_h")
+    cent_rows = (
+        c.select("candidate_id", "_cv", md5_long(F.col("candidate_id")).alias("_h"))
+        .orderBy("_h", "candidate_id")
         .limit(n_lists)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("_h"))
-            .alias("list_id"),
-            F.col("_cv").alias("_centroid"),
+        .collect()
+    )
+    centroids = [[float(x) for x in r._cv] for r in cent_rows]
+
+    def assign_array(vec_col):
+        # one struct per centroid; lexicographic struct order makes
+        # array_min/array_sort an argmin with list_id tie-break
+        return F.array(
+            *[
+                F.struct(
+                    dist_fn(vec_col, F.array(*[F.lit(x) for x in v])).alias("d"),
+                    F.lit(i + 1).alias("list_id"),
+                )
+                for i, v in enumerate(centroids)
+            ]
         )
+
+    c_assigned = c.withColumn(
+        "list_id", F.array_min(assign_array(F.col("_cv")))["list_id"]
+    )
+    q_assigned = q.withColumn(
+        "_probe", F.slice(F.array_sort(assign_array(F.col("_qv"))), 1, n_probe)
+    ).select(
+        "query_id", "_qv", F.explode(F.col("_probe").getField("list_id")).alias("list_id")
     )
 
-    # assign candidates: argmin over the broadcast centroid table
-    w_assign = Window.partitionBy("candidate_id").orderBy(
-        F.col("_cd").asc(), F.col("list_id").asc()
-    )
-    c_assigned = (
-        c.join(F.broadcast(cent))
-        .withColumn("_cd", dist_fn(F.col("_cv"), F.col("_centroid")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select("candidate_id", "_cv", "list_id")
-    )
-
-    # assign queries to their n_probe closest lists
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("_qd").asc(), F.col("list_id").asc()
-    )
-    q_assigned = (
-        q.join(F.broadcast(cent))
-        .withColumn("_qd", dist_fn(F.col("_qv"), F.col("_centroid")))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .where(F.col("_rn") <= n_probe)
-        .select("query_id", "_qv", "list_id")
-    )
-
-    scored = q_assigned.join(c_assigned, "list_id").select(
+    # queries are the small side in the ranker case — broadcast so the
+    # candidate stream never shuffles; only the final window exchanges
+    # the (already list-pruned) scored pairs
+    scored = F.broadcast(q_assigned).join(c_assigned, "list_id").select(
         "query_id", "candidate_id", dist_fn(F.col("_qv"), F.col("_cv")).alias("dist")
     )
     w = Window.partitionBy("query_id").orderBy(

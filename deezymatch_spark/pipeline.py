@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.udfs import jaro_winkler_udf, normalize_udf
-from .operators.blocking import candidate_pairs, scored_candidate_pairs
+from .operators.blocking import candidate_pairs, release_persisted, scored_candidate_pairs
 from .operators.cc import connected_components
 from .sources.pages import extract_title, generate_pages
 
@@ -57,8 +57,14 @@ def _stage_path(work_dir: str, name: str) -> str:
     return os.path.join(work_dir, f"stage_{name}")
 
 
-def _is_done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _is_done(spark: SparkSession, path: str) -> bool:
+    """_SUCCESS probe via the Hadoop FileSystem API so resume works on
+    s3a://, hdfs://, etc. — a plain os.path.exists silently never
+    matches on object stores and every stage would recompute."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def _materialize(
@@ -69,7 +75,7 @@ def _materialize(
     if work_dir is None:
         return df
     path = _stage_path(work_dir, name)
-    if not _is_done(path):
+    if not _is_done(spark, path):
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
         stage_metrics(spark.read.parquet(path), name).write.mode("append").parquet(
@@ -117,13 +123,19 @@ def er_stages(
     # shuffle (see scored_candidate_pairs: the unfused variant cost 3
     # full-size shuffles of the 40M-row blocked pair set). The Python
     # JW UDF then only sees the ~2% of pairs that survive the gates.
-    scored = scored_candidate_pairs(
+    scored_raw = scored_candidate_pairs(
         docs, "id", "title_norm",
         lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
-    ).withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
+    )
+    scored = scored_raw.withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
     if pair_scorer is not None:
         scored = scored.withColumn("p1", pair_scorer(F.col("t1"), F.col("t2")))
     scored = _materialize(spark, scored, work_dir, "s2_scored")
+    if work_dir is not None:
+        # the stage parquet is durable — drop blocking's persisted keys
+        # cache now so eval loops calling er_stages repeatedly don't
+        # accumulate dead RDD storage
+        release_persisted(scored_raw)
 
     # unfused blocked-pair universe, built lazily for eval/inspection
     # (er_f1_eval scores F1 over ALL blocked pairs, pre-lev-gate);
@@ -154,6 +166,15 @@ def er_stages(
     )
     clusters = _materialize(spark, clusters, work_dir, "s5_clusters")
 
+    def release():
+        """Drop every cache this call pinned (docs persist + blocking
+        keys). Call once the caller is done with the returned frames —
+        required in work_dir=None mode where stages stay lazy and the
+        caches must outlive this function."""
+        release_persisted(scored_raw)
+        if work_dir is None:
+            docs.unpersist()
+
     return {
         "docs": docs,
         "pairs": pairs,
@@ -161,6 +182,7 @@ def er_stages(
         "matches": matches,
         "components": comps,
         "clusters": clusters,
+        "release": release,
     }
 
 

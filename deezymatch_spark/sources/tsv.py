@@ -1,10 +1,20 @@
 """TSV pair / query-list sources — S1/S2 parity.
 
-Reference contract (DeezyMatch/data_processing.py:45-75,286-309;
+Reference contract (DeezyMatch/data_processing.py:44-66,286-309;
 README.md:176,404-405): tab-separated, first 3 columns are
-(s1, s2, label), extra columns silently ignored, rows whose label is
-not a case-insensitive member of {true,false,1,0} are SKIPPED (not
-errors). One-column query files duplicate col0→col1 with label true.
+(s1, s2, label), extra columns silently ignored. The reference applies
+TWO label filters whose intersection is what actually survives:
+
+1. first pass (data_processing.py:48): stripped lowercase label must be
+   in {true,false,1,0}, else the row is SKIPPED (not an error);
+2. second pass (:59-64): rows whose label does not str.contains
+   "true|false" (case-insensitive) are DROPPED — this silently discards
+   the ``1``/``0`` rows the first pass whitelisted.
+
+Net effect: only exact (post-strip, case-insensitive) ``true``/``false``
+labels survive — we mirror that, including the buggy-looking drop of
+``1``/``0``. s1/s2/label are whitespace-stripped at load (:55-57).
+One-column query files duplicate col0→col1 with label true.
 """
 
 from __future__ import annotations
@@ -13,22 +23,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["read_pairs_tsv", "read_queries_tsv", "valid_label", "label_to_bool"]
 
-_VALID = ("true", "false", "1", "0")
-_TRUE = ("true", "1")
+# what survives BOTH reference passes (see module docstring)
+_VALID = ("true", "false")
+_TRUE = ("true",)
+
+
+def _strip(col) -> F.Column:
+    """pandas .str.strip() equivalent (leading/trailing whitespace —
+    the reference strips tabs/newlines too, so plain ``trim`` which
+    only removes spaces is not enough)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
 def valid_label(col) -> F.Column:
-    return F.lower(F.trim(col)).isin(*_VALID)
+    return F.lower(_strip(col)).isin(*_VALID)
 
 
 def label_to_bool(col) -> F.Column:
     """P6 label normalization (data_processing.py:63-75)."""
-    return F.lower(F.trim(col)).isin(*_TRUE)
+    return F.lower(_strip(col)).isin(*_TRUE)
 
 
 def read_pairs_tsv(spark: SparkSession, path: str) -> DataFrame:
     """→ [s1, s2, label boolean, original_index] — invalid-label rows
-    dropped, mirroring the reference's SKIP path. original_index
+    dropped, mirroring the reference's SKIP + contains-filter paths;
+    s1/s2 stripped like the reference's .str.strip(). original_index
     preserves file order for the split operator (W2)."""
     raw = spark.read.text(path).select(
         F.monotonically_increasing_id().alias("original_index"),
@@ -45,8 +64,8 @@ def read_pairs_tsv(spark: SparkSession, path: str) -> DataFrame:
         .where(valid_label(F.col("label_raw")))
         .select(
             "original_index",
-            "s1",
-            "s2",
+            _strip(F.col("s1")).alias("s1"),
+            _strip(F.col("s2")).alias("s2"),
             label_to_bool(F.col("label_raw")).alias("label"),
         )
     )

@@ -78,7 +78,12 @@ def streaming_entity_matches(
     table (id, title_norm): per micro-batch, reuse the batch blocking +
     scoring operators via ``foreachBatch`` (the idiomatic pattern for
     stream-static pipelines that need multi-stage joins), writing
-    matches to Parquet with exactly-once checkpointing.
+    matches to Parquet partitioned by ``batch_id`` with DYNAMIC
+    partition overwrite — foreachBatch alone is only at-least-once (a
+    batch retried after a partial append but before the checkpoint
+    commit would duplicate rows); overwriting exactly the retried
+    batch's partition makes the sink idempotent, so end-to-end the
+    output is effectively exactly-once.
 
     → StreamingQuery (caller awaits/stops it)."""
     cand_keys = blocking_keys(candidates, "id", "title_norm").withColumnRenamed(
@@ -107,7 +112,15 @@ def streaming_entity_matches(
             .where(F.col("jw") >= jw_threshold)
             .withColumn("batch_id", F.lit(batch_id))
         )
-        scored.write.mode("append").parquet(output_dir)
+        # idempotent on retry: dynamic overwrite replaces ONLY the
+        # partitions present in this batch (batch_id=<id>), never the
+        # other batches' output
+        (
+            scored.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     return (
         streaming_pages_normalize(pages_stream)
