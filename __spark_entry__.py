@@ -577,6 +577,41 @@ def q_lsh_ann_topk(spark, sf):
     )
 
 
+def _train_metrics_rows():
+    """Deterministic tiny encoder-training run → integer-ized metrics
+    rows (micro units). sf-independent by design (like the multimodal
+    queries). The oracle re-runs this exact function in the DuckDB
+    process and inlines the rows as VALUES — a green hash means the
+    whole training stack (BPTT, Adam, metric computation) is
+    bit-reproducible across processes."""
+    from deezymatch_spark.model.fixtures import tiny_fit_metrics
+
+    return [
+        (
+            int(r["epoch"]),
+            str(r["phase"]),
+            int(round(r["loss"] * 1e6)),
+            int(round(r["acc"] * 1e6)),
+            int(round(r["precision"] * 1e6)),
+            int(round(r["recall"] * 1e6)),
+            int(round(r["macro_f1"] * 1e6)),
+            int(round(r["weighted_f1"] * 1e6)),
+        )
+        for r in tiny_fit_metrics()
+    ]
+
+
+_TRAIN_METRICS_SCHEMA = (
+    "epoch int, phase string, loss_micro long, acc_micro long, "
+    "precision_micro long, recall_micro long, macro_f1_micro long, "
+    "weighted_f1_micro long"
+)
+
+
+def q_train_metrics(spark, sf):
+    return spark.createDataFrame(_train_metrics_rows(), _TRAIN_METRICS_SCHEMA)
+
+
 def q_pipeline_entity_clusters(spark, sf):
     """End-to-end ER slice on the synthetic pages table: extract →
     normalize (NFKD UDF) → block → JW score → threshold → transitive
@@ -629,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "train_metrics": q_train_metrics,
         "pipeline_entity_clusters": q_pipeline_entity_clusters,
     }
 
@@ -966,4 +1002,13 @@ def oracle_sql() -> dict[str, str]:
                   from s)
             select query_id, candidate_id, rank, round(dist, 6) + 0.0 as dist
             from r where rank <= 5""",
+        "train_metrics": (
+            "select * from (values "
+            + ", ".join(
+                f"({e}, '{p}', {lm}, {am}, {pm}, {rm}, {mm}, {wm})"
+                for e, p, lm, am, pm, rm, mm, wm in _train_metrics_rows()
+            )
+            + ") as t(epoch, phase, loss_micro, acc_micro, precision_micro, "
+            "recall_micro, macro_f1_micro, weighted_f1_micro)"
+        ),
     }

@@ -3,20 +3,26 @@
 candidate_ranker) re-expressed Spark-first.
 
 Division of labor (SURVEY.md §3.1 step 5): Spark does all data-parallel
-work (read, label scrub, split, normalize, tokenize/encode inside
-UDFs, featurization of pairs, vector generation, ranking); only the
-tiny classifier-head fit runs driver-side on a bounded sample — the
-reference's GPU training loop (rnn_networks.py:160-520) is replaced by
-a fixed seeded siamese encoder (reservoir-style) + a trained logistic
-head over [gru_cosine, jaro_winkler, levenshtein, jaccard] features,
-per BASELINE.json north_rule's scorer spec. Seed 1364 everywhere
-(≙ DeezyMatch.py:33).
+work — read, label scrub, split, normalize, vocab build, missing-char
+filtering, PAIR FEATURIZATION (Arrow UDFs on executors), vector
+generation, ranking, and the head fit's IRLS sufficient statistics.
+The siamese-encoder BPTT itself runs driver-side over a bounded sample
+(``max_encoder_sample``), matching the reference's scale — it trains
+~5k pairs (README.md:167-182) while inference is the data-parallel
+part. Seed 1364 everywhere (≙ DeezyMatch.py:33).
+
+The r1 design (frozen random encoder + feature head) is gone: ``train``
+now fits the encoder by gradient descent (model/train_numpy.py —
+Adam, epochs, validation, early stopping W3, per-epoch checkpoints,
+rnn_networks.py:160-520) and then fits the combined-feature logistic
+head with distributed featurization + IRLS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -26,14 +32,16 @@ from .model.numpy_rnn import SiameseRNN
 from .model.scorer_udf import (
     load_artifacts,
     make_encode_vec_udf,
+    make_missing_ratio_udf,
+    make_pair_features_udf,
     make_pair_scorer_udf,
-    pair_features_batch,
     save_artifacts,
 )
+from .model.train_numpy import fit as _fit_encoder
 from .operators.ranker import candidate_ranker as _ranker
 from .operators.split import train_val_test_split
 from .sources.tsv import read_pairs_tsv
-from .text import Vocabulary
+from .text import Vocabulary, encode_tokens, pad_sequence, string_split
 
 SEED = 1364  # DeezyMatch.py:33
 
@@ -48,36 +56,117 @@ DEFAULT_TOKENIZE = {
     "max_seq_len": 120,
 }
 
+N_FEATURES = 4  # [gru_cos, jw, levn, jac3]
 
-def _fit_head(
-    feats: np.ndarray,
-    labels: np.ndarray,
+
+# ------------------------------------------------------------- head (IRLS)
+
+
+def _fit_head_spark(
+    feats_df: DataFrame,
     *,
-    iterations: int = 25,
+    iterations: int = 15,
     l2: float = 1e-6,
+    w0: np.ndarray | None = None,
     balanced: bool = True,
-):
-    """Deterministic logistic regression via IRLS (Newton), with
-    inverse-frequency class weights — blocked training pairs are
-    heavily negative-skewed (~2% positive), and an unweighted GD fit
-    either stalls or needs fragile lr tuning."""
-    X = np.column_stack([feats, np.ones(len(feats))])
-    y = labels.astype(np.float64)
+) -> tuple[np.ndarray, float]:
+    """Distributed IRLS (Newton) logistic regression over
+    DataFrame[features array<double>, label int].
+
+    Each iteration is ONE codegen aggregation computing the 5×5
+    (features+bias) upper-triangle of XᵀRX plus the 5 gradient sums —
+    30 scalar aggregates, broadcast-free, collect of a single row. No
+    data rows ever reach the driver, so the fit scales to any pair
+    count (this replaces both the r1 driver featurization loop and the
+    finetune full-collect). ``w0`` warm-starts (finetune)."""
+    d = N_FEATURES + 1  # + bias
+    cols = [F.element_at("features", i + 1).alias(f"f{i}") for i in range(N_FEATURES)]
+    X = feats_df.select(*cols, F.lit(1.0).alias(f"f{N_FEATURES}"),
+                        F.col("label").cast("double").alias("y")).persist()
+    counts = X.agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    ).collect()[0]
+    n, npos = float(counts.n), float(counts.npos or 0.0)
+    nneg = n - npos
     if balanced:
-        pos = max(y.sum(), 1.0)
-        neg = max(len(y) - y.sum(), 1.0)
-        sw = np.where(y == 1, len(y) / (2 * pos), len(y) / (2 * neg))
+        w_pos = n / (2 * max(npos, 1.0))
+        w_neg = n / (2 * max(nneg, 1.0))
     else:
-        sw = np.ones(len(y))
-    w = np.zeros(X.shape[1])
+        w_pos = w_neg = 1.0
+
+    w = np.zeros(d) if w0 is None else np.asarray(w0, dtype=np.float64).copy()
     for _ in range(iterations):
-        z = np.clip(X @ w, -35, 35)
-        p = 1.0 / (1.0 + np.exp(-z))
-        g = X.T @ (sw * (p - y)) + l2 * w
-        r = np.maximum(sw * p * (1 - p), 1e-10)
-        H = (X.T * r) @ X + l2 * np.eye(X.shape[1])
+        z = sum(F.col(f"f{i}") * float(w[i]) for i in range(d))
+        z = F.greatest(F.least(z, F.lit(35.0)), F.lit(-35.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        sw = F.when(F.col("y") == 1.0, F.lit(w_pos)).otherwise(F.lit(w_neg))
+        r = F.greatest(sw * p * (1.0 - p), F.lit(1e-10))
+        aggs = []
+        for i in range(d):
+            aggs.append(F.sum(F.col(f"f{i}") * sw * (p - F.col("y"))).alias(f"g{i}"))
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(F.col(f"f{i}") * F.col(f"f{j}") * r).alias(f"h{i}_{j}")
+                )
+        row = X.agg(*aggs).collect()[0].asDict()
+        g = np.array([row[f"g{i}"] for i in range(d)]) + l2 * w
+        H = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                H[i, j] = H[j, i] = row[f"h{i}_{j}"]
+        H += l2 * np.eye(d)
         w -= np.linalg.solve(H, g)
+    X.unpersist()
     return w[:-1], float(w[-1])
+
+
+# ------------------------------------------------------------ driver encode
+
+
+def _collect_encoded(df: DataFrame, vocab: dict[str, int], cfg: dict, limit: int):
+    """Bounded, deterministic collect of (X1, l1, X2, l2, y) for the
+    driver-side encoder fit. Tokenization happens here (cheap at the
+    bounded size); everything upstream stayed distributed."""
+    rows = (
+        df.select("original_index", "s1_norm", "s2_norm", "label")
+        .orderBy("original_index")
+        .limit(limit)
+        .collect()
+    )
+    maxlen = cfg.get("max_seq_len", 120)
+    tk = {k: cfg[k] for k in ("tokenize", "min_gram", "max_gram",
+                              "token_sep", "prefix_suffix")}
+
+    def enc(strings):
+        X = np.zeros((len(strings), maxlen), dtype=np.int64)
+        L = np.zeros(len(strings), dtype=np.int64)
+        for i, s in enumerate(strings):
+            toks = string_split(s or "", **tk)
+            idx = encode_tokens(toks, vocab)
+            padded, nlen = pad_sequence(idx, maxlen)
+            X[i] = padded
+            L[i] = max(nlen, 1)
+        return X, L
+
+    X1, l1 = enc([r.s1_norm for r in rows])
+    X2, l2 = enc([r.s2_norm for r in rows])
+    y = np.array([int(r.label) for r in rows], dtype=np.int64)
+    return X1, l1, X2, l2, y
+
+
+def _head_from_features(spark_df_pairs, artifact_path, *, max_head_sample, w0=None):
+    """Distributed featurization (Arrow UDF) + distributed IRLS."""
+    feat_udf = make_pair_features_udf(artifact_path)
+    feats = (
+        spark_df_pairs.select("s1_norm", "s2_norm", F.col("label").cast("int").alias("label"))
+        .limit(max_head_sample)
+        .select(feat_udf(F.col("s1_norm"), F.col("s2_norm")).alias("features"), "label")
+    )
+    return _fit_head_spark(feats, w0=w0)
+
+
+# ------------------------------------------------------------------- train
 
 
 def train(
@@ -94,15 +183,40 @@ def train(
     tokenize_cfg: dict | None = None,
     n_train_examples: int | None = None,
     max_head_sample: int = 100_000,
+    train_encoder: bool = True,
+    epochs: int = 5,
+    batch_size: int = 256,
+    learning_rate: float = 0.001,
+    early_stopping_patience: int | None = None,
+    validation: int = 1,
+    read_list_chars: list[str] | str | None = None,
+    max_encoder_sample: int = 20_000,
+    train_prop: float = 0.7,
+    val_prop: float = 0.15,
+    test_prop: float = 0.15,
 ) -> str:
     """→ artifact dir path. ``dataset``: TSV path (reference contract,
-    S1) or DataFrame[s1, s2, label, original_index]."""
+    S1) or DataFrame[s1, s2, label, original_index].
+
+    Training defaults mirror input_dfm.yaml: 5 epochs, batch 256, Adam
+    lr 0.001, validation every epoch; ``early_stopping_patience`` (W3)
+    off by default like the reference's ``-1``. Artifacts written:
+    model.npz (best by valid loss), checkpoint{epoch:05d}.npz per
+    epoch, log.json (per-epoch metrics rows ≙ log.txt), vocab.json,
+    config.json.
+
+    ``read_list_chars`` (S3, data_processing.py:220-226): pre-seed the
+    vocabulary with a character list (list of tokens, or a path to a
+    JSON list — the reference reads a pickle; pickle is avoided by
+    design) so those tokens get the first ids in list order.
+    """
     cfg = dict(DEFAULT_TOKENIZE, **(tokenize_cfg or {}))
 
     pairs = read_pairs_tsv(spark, dataset) if isinstance(dataset, str) else dataset
     pairs = train_val_test_split(
         pairs, label_col="label", order_col="original_index",
         n_train_examples=n_train_examples,
+        train_prop=train_prop, val_prop=val_prop, test_prop=test_prop,
     )
     pairs = pairs.withColumn("s1_norm", normalize_udf(F.col("s1"))).withColumn(
         "s2_norm", normalize_udf(F.col("s2"))
@@ -117,6 +231,7 @@ def train(
     tk = {k: cfg[k] for k in ("tokenize", "min_gram", "max_gram", "token_sep", "prefix_suffix")}
     tok_udf = tokenize_udf(**tk)
     train_df = pairs.where(F.col("split") == "train")
+    val_df = pairs.where(F.col("split") == "val")
     toks = train_df.select(
         "original_index",
         F.posexplode(
@@ -124,7 +239,7 @@ def train(
         ).alias("pos", "token"),
     )
     # first occurrence in corpus order: row-major, s1 tokens before s2
-    # within a row (the concat preserves that), position within row
+    # within a row (the concat preserves that), position within row.
     # lexicographic struct-min, not arithmetic packing: original_index
     # comes from monotonically_increasing_id (partitionId << 33 | row),
     # so idx * 1e6 + pos would overflow int64 past ~1073 partitions and
@@ -137,6 +252,14 @@ def train(
         .collect()
     )
     vocab = Vocabulary(model_name)
+    if read_list_chars is not None:
+        # S3: seeded chars take the first ids, in list order
+        if isinstance(read_list_chars, str):
+            with open(read_list_chars) as fh:
+                seed_chars = json.load(fh)
+        else:
+            seed_chars = list(read_list_chars)
+        vocab.add_tokens(seed_chars)
     vocab.add_tokens([r.token for r in first_seen])
 
     model = SiameseRNN.from_seed(
@@ -144,30 +267,42 @@ def train(
         embedding_dim=embedding_dim, n_layers=n_layers, pooling_mode=pooling_mode,
     )
 
-    # head fit on a bounded driver-side sample of the train split —
-    # the only data that ever reaches the driver
-    import pandas as pd
+    path = os.path.join(models_dir, model_name)
+    metrics_rows: list[dict] = []
+    if train_encoder and epochs > 0:
+        train_data = _collect_encoded(train_df, vocab.tok2index, cfg, max_encoder_sample)
+        val_rows = _collect_encoded(val_df, vocab.tok2index, cfg, max_encoder_sample)
+        valid_data = val_rows if len(val_rows[4]) else None
+        model, metrics_rows = _fit_encoder(
+            model, train_data, valid_data,
+            epochs=epochs, batch_size=batch_size, lr=learning_rate, seed=SEED,
+            do_validation=validation,
+            early_stopping_patience=early_stopping_patience,
+            model_path=path,
+        )
 
-    sample = (
-        train_df.select("original_index", "s1_norm", "s2_norm", "label")
-        .orderBy("original_index")
-        .limit(max_head_sample)
-        .collect()
-    )
-    labels = np.array([r.label for r in sample], dtype=np.int64)
-    feats = pair_features_batch(
-        model, vocab.tok2index, cfg,
-        pd.Series([r.s1_norm for r in sample]),
-        pd.Series([r.s2_norm for r in sample]),
-    )
-    w, b = _fit_head(feats, labels)
-    cfg["head"] = {"coef": w.tolist(), "intercept": float(b)}
     cfg["architecture"] = architecture
     cfg["pooling_mode"] = pooling_mode
 
-    path = os.path.join(models_dir, model_name)
+    # head fit: featurize on executors via a TEMP artifact (a worker
+    # that caches the artifact during featurization must never pin a
+    # head-less config under the final path)
+    tmp = path + ".feat_tmp"
+    save_artifacts(tmp, model, vocab.tok2index, cfg)
+    try:
+        w, b = _head_from_features(train_df, tmp, max_head_sample=max_head_sample)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    cfg["head"] = {"coef": w.tolist(), "intercept": float(b)}
+
     save_artifacts(path, model, vocab.tok2index, cfg)
+    if metrics_rows:
+        with open(os.path.join(path, "log.json"), "w") as fh:
+            json.dump(metrics_rows, fh, indent=1)
     return path
+
+
+# ----------------------------------------------------------------- finetune
 
 
 def finetune(
@@ -176,31 +311,80 @@ def finetune(
     model_name: str,
     pretrained_path: str,
     models_dir: str = "models",
-    **kwargs,
+    *,
+    epochs: int = 5,
+    batch_size: int = 256,
+    learning_rate: float = 0.001,
+    early_stopping_patience: int | None = None,
+    validation: int = 1,
+    layers_to_freeze: tuple[str, ...] = (),
+    missing_char_threshold: float = 0.5,
+    max_encoder_sample: int = 20_000,
+    max_head_sample: int = 100_000,
 ) -> str:
-    """Continue head training from an existing artifact (vocab and
-    encoder reused; reference finetune reloads the whole model,
-    DeezyMatch.py:117-200)."""
-    import pandas as pd
+    """Continue training from an existing artifact: encoder BPTT
+    resumes from the pretrained weights (``layers_to_freeze`` mirrors
+    the reference's name-substring freezing, rnn_networks.py:215-222),
+    and the head is WARM-STARTED IRLS over distributed features — not
+    the r1 coefficient average, and never a full .collect() of the
+    dataset.
 
+    P4: rows whose missing-char ratio vs the PRETRAINED vocab exceeds
+    ``missing_char_threshold`` on either side are dropped before
+    training (data_processing.py:186-205)."""
     model, vocab, cfg = load_artifacts(pretrained_path)
     pairs = read_pairs_tsv(spark, dataset) if isinstance(dataset, str) else dataset
+    if "original_index" not in pairs.columns:
+        pairs = pairs.withColumn("original_index", F.monotonically_increasing_id())
     pairs = pairs.withColumn("s1_norm", normalize_udf(F.col("s1"))).withColumn(
         "s2_norm", normalize_udf(F.col("s2"))
     )
-    rows = pairs.select("s1_norm", "s2_norm", "label").collect()
-    feats = pair_features_batch(
-        model, vocab, cfg,
-        pd.Series([r.s1_norm for r in rows]), pd.Series([r.s2_norm for r in rows]),
+    ratio = make_missing_ratio_udf(pretrained_path)
+    pairs = pairs.where(
+        (ratio(F.col("s1_norm")) <= missing_char_threshold)
+        & (ratio(F.col("s2_norm")) <= missing_char_threshold)
     )
-    labels = np.array([r.label for r in rows], dtype=np.int64)
-    w0 = np.asarray(cfg["head"]["coef"])
-    w, b = _fit_head(feats, labels)
-    cfg = dict(cfg)
-    cfg["head"] = {"coef": ((w0 + w) / 2).tolist(), "intercept": float(b)}
+    pairs = train_val_test_split(
+        pairs, label_col="label", order_col="original_index"
+    )
+    train_df = pairs.where(F.col("split") == "train")
+    val_df = pairs.where(F.col("split") == "val")
+
     path = os.path.join(models_dir, model_name)
+    metrics_rows: list[dict] = []
+    if epochs > 0:
+        train_data = _collect_encoded(train_df, vocab, cfg, max_encoder_sample)
+        val_rows = _collect_encoded(val_df, vocab, cfg, max_encoder_sample)
+        valid_data = val_rows if len(val_rows[4]) else None
+        model, metrics_rows = _fit_encoder(
+            model, train_data, valid_data,
+            epochs=epochs, batch_size=batch_size, lr=learning_rate, seed=SEED,
+            do_validation=validation,
+            early_stopping_patience=early_stopping_patience,
+            model_path=path, freeze=tuple(layers_to_freeze),
+        )
+
+    cfg = dict(cfg)
+    w0 = None
+    if "head" in cfg:
+        w0 = np.array(list(cfg["head"]["coef"]) + [cfg["head"]["intercept"]])
+    tmp = path + ".feat_tmp"
+    save_artifacts(tmp, model, vocab, cfg)
+    try:
+        w, b = _head_from_features(
+            train_df, tmp, max_head_sample=max_head_sample, w0=w0
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    cfg["head"] = {"coef": w.tolist(), "intercept": float(b)}
     save_artifacts(path, model, vocab, cfg)
+    if metrics_rows:
+        with open(os.path.join(path, "log.json"), "w") as fh:
+            json.dump(metrics_rows, fh, indent=1)
     return path
+
+
+# ---------------------------------------------------------------- inference
 
 
 def inference(
@@ -210,22 +394,48 @@ def inference(
     *,
     inference_mode: str = "test",
     key_col: str = "s1",
+    missing_char_threshold: float | None = 0.5,
+    cutoff: int | None = None,
 ) -> DataFrame:
     """mode='vect' (N5): adds key_norm + vec columns — the embedding
     store write (replaces per-batch tensor files, SURVEY.md §3.2).
     mode='test': pair predictions [s1, s2, prediction, p0, p1, label]
-    (S7 sink format, rnn_networks.py:640-667)."""
+    (S7 sink format, rnn_networks.py:640-667).
+
+    P4 (test mode): rows whose missing-char ratio vs the artifact
+    vocabulary exceeds ``missing_char_threshold`` on either side are
+    dropped (data_processing.py:368-397). Pass None to disable.
+    P10 (test mode): ``cutoff`` reproduces the reference's two-step
+    slice — ``[:cutoff*2]`` of the input BEFORE the missing-char
+    filter, ``[:cutoff]`` after it (data_processing.py:332-335,403).
+    Input order = ``original_index`` when present.
+    """
     if inference_mode == "vect":
         enc = make_encode_vec_udf(artifact_path)
         return df.withColumn("key_norm", normalize_udf(F.col(key_col))).withColumn(
             "vec", enc(F.col("key_norm"))
         )
-    scorer = make_pair_scorer_udf(artifact_path, mode="siamese")
+    ordered = df
+    if cutoff is not None:
+        if "original_index" in df.columns:
+            ordered = df.orderBy("original_index")
+        ordered = ordered.limit(cutoff * 2)
     out = (
-        df.withColumn("s1_norm", normalize_udf(F.col("s1")))
+        ordered.withColumn("s1_norm", normalize_udf(F.col("s1")))
         .withColumn("s2_norm", normalize_udf(F.col("s2")))
-        .withColumn("p1", scorer(F.col("s1_norm"), F.col("s2_norm")))
     )
+    if missing_char_threshold is not None:
+        ratio = make_missing_ratio_udf(artifact_path)
+        out = out.where(
+            (ratio(F.col("s1_norm")) <= missing_char_threshold)
+            & (ratio(F.col("s2_norm")) <= missing_char_threshold)
+        )
+    if cutoff is not None:
+        if "original_index" in out.columns:
+            out = out.orderBy("original_index")
+        out = out.limit(cutoff)
+    scorer = make_pair_scorer_udf(artifact_path, mode="siamese")
+    out = out.withColumn("p1", scorer(F.col("s1_norm"), F.col("s2_norm")))
     return out.select(
         "s1", "s2",
         (F.col("p1") > 0.5).cast("int").alias("prediction"),
@@ -251,12 +461,16 @@ def candidate_ranker(
     candidates: DataFrame,
     *,
     artifact_path: str | None = None,
+    number_test_rows: int = -1,
     **kwargs,
 ) -> DataFrame:
     """Reference candidate_ranker over embedding-store tables
     [id, key, key_norm, vec]; pass artifact_path to enable the
-    conf metric / calc_predict."""
+    conf metric / calc_predict. ``number_test_rows`` > 0 caps the
+    query set to its first n rows by id (candidateRanker.py:355-358)."""
     scorer = None
     if artifact_path is not None:
         scorer = make_pair_scorer_udf(artifact_path, mode="siamese")
+    if number_test_rows and number_test_rows > 0:
+        queries = queries.orderBy("id").limit(number_test_rows)
     return _ranker(queries, candidates, pair_scorer=scorer, **kwargs)

@@ -141,6 +141,70 @@ class SiameseRNN:
             **self.w,
         )
 
+    # torch state_dict key ↔ our weight-name mapping for
+    # two_parallel_rnns (rnn_networks.py:753-860): emb.weight,
+    # rnn_1.{weight,bias}_{ih,hh}_l{k}[_reverse], attn_step{1,2}.*,
+    # fc{1,2}.*. Gate order matches torch (GRU r,z,n; LSTM i,f,g,o).
+    @classmethod
+    def from_torch_state_dict(
+        cls,
+        state: dict[str, np.ndarray],
+        *,
+        architecture: str,
+        pooling_mode: str,
+        bidirectional: bool = True,
+    ) -> "SiameseRNN":
+        """Build from a torch ``state_dict`` whose tensors were exported
+        to numpy (e.g. by tools/import_torch_state_dict.py on a machine
+        that has torch — this container doesn't). Enables loading
+        reference-trained weights for numeric parity runs."""
+        w: dict[str, np.ndarray] = {"emb": np.asarray(state["emb.weight"])}
+        n_layers = 0
+        while f"rnn_1.weight_ih_l{n_layers}" in state:
+            n_layers += 1
+        dirs = 2 if bidirectional else 1
+        for k in range(n_layers):
+            for d in range(dirs):
+                suf = "_reverse" if d == 1 else ""
+                p = f"l{k}d{d}"
+                w[f"{p}_Wih"] = np.asarray(state[f"rnn_1.weight_ih_l{k}{suf}"])
+                w[f"{p}_Whh"] = np.asarray(state[f"rnn_1.weight_hh_l{k}{suf}"])
+                w[f"{p}_bih"] = np.asarray(state[f"rnn_1.bias_ih_l{k}{suf}"])
+                w[f"{p}_bhh"] = np.asarray(state[f"rnn_1.bias_hh_l{k}{suf}"])
+        for ours, theirs in (
+            ("fc1", "fc1"), ("fc2", "fc2"),
+            ("attn1", "attn_step1"), ("attn2", "attn_step2"),
+        ):
+            w[f"{ours}_W"] = np.asarray(state[f"{theirs}.weight"])
+            w[f"{ours}_b"] = np.asarray(state[f"{theirs}.bias"])
+        hidden = w["l0d0_Whh"].shape[1]
+        emb_dim = w["emb"].shape[1]
+        return cls(
+            w, architecture=architecture, hidden_dim=hidden,
+            embedding_dim=emb_dim, n_layers=n_layers,
+            bidirectional=bidirectional, pooling_mode=pooling_mode,
+        )
+
+    def to_torch_state_dict(self) -> dict[str, np.ndarray]:
+        """Inverse of from_torch_state_dict (round-trip tested)."""
+        state = {"emb.weight": self.w["emb"]}
+        dirs = 2 if self.bidi else 1
+        for k in range(self.n_layers):
+            for d in range(dirs):
+                suf = "_reverse" if d == 1 else ""
+                p = f"l{k}d{d}"
+                state[f"rnn_1.weight_ih_l{k}{suf}"] = self.w[f"{p}_Wih"]
+                state[f"rnn_1.weight_hh_l{k}{suf}"] = self.w[f"{p}_Whh"]
+                state[f"rnn_1.bias_ih_l{k}{suf}"] = self.w[f"{p}_bih"]
+                state[f"rnn_1.bias_hh_l{k}{suf}"] = self.w[f"{p}_bhh"]
+        for ours, theirs in (
+            ("fc1", "fc1"), ("fc2", "fc2"),
+            ("attn1", "attn_step1"), ("attn2", "attn_step2"),
+        ):
+            state[f"{theirs}.weight"] = self.w[f"{ours}_W"]
+            state[f"{theirs}.bias"] = self.w[f"{ours}_b"]
+        return state
+
     @classmethod
     def load(cls, path: str) -> "SiameseRNN":
         z = np.load(path, allow_pickle=False)
@@ -188,10 +252,11 @@ class SiameseRNN:
         p = f"l{layer}d{d}"
         Wih, Whh = self.w[f"{p}_Wih"], self.w[f"{p}_Whh"]
         bih, bhh = self.w[f"{p}_bih"], self.w[f"{p}_bhh"]
+        dt = self.w["emb"].dtype  # float32 in production
         gi_all = inp @ Wih.T + bih  # [B,T,g*H]
-        h = np.zeros((B, H), dtype=np.float32)
-        c = np.zeros((B, H), dtype=np.float32)
-        outs = np.zeros((B, T, H), dtype=np.float32)
+        h = np.zeros((B, H), dtype=dt)
+        c = np.zeros((B, H), dtype=dt)
+        outs = np.zeros((B, T, H), dtype=dt)
         for t in range(T):
             h2, c2 = self._gate_step(gi_all[:, t, :], h, c, Whh, bhh)
             mask = (t < lengths)[:, None]

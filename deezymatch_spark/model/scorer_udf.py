@@ -28,7 +28,14 @@ from pyspark.sql.types import ArrayType, DoubleType, FloatType
 from ..text import encode_tokens, pad_sequence, string_split
 from .numpy_rnn import SiameseRNN
 
-__all__ = ["load_artifacts", "make_encode_vec_udf", "make_pair_scorer_udf", "save_artifacts"]
+__all__ = [
+    "load_artifacts",
+    "make_encode_vec_udf",
+    "make_pair_scorer_udf",
+    "make_pair_features_udf",
+    "make_missing_ratio_udf",
+    "save_artifacts",
+]
 
 _CACHE: dict[str, tuple[SiameseRNN, dict[str, int], dict]] = {}
 
@@ -114,6 +121,57 @@ def make_pair_scorer_udf(artifact_path: str, mode: str = "combined"):
             yield pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return score_pairs
+
+
+def make_pair_features_udf(artifact_path: str):
+    """(s1_norm, s2_norm) → array<double> [gru_cos, jw, levn, jac3] —
+    the head's feature vector, computed ON EXECUTORS (Arrow-batched).
+    Replaces the r1 driver-side per-row featurization loop: the only
+    thing the head fit ever collects is 4 doubles per sampled row (or
+    nothing at all with the distributed IRLS in api._fit_head_spark)."""
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def pair_features(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        model, vocab, cfg = load_artifacts(artifact_path)
+        for s1, s2 in it:
+            X1, l1 = _encode_batch(s1, vocab, cfg)
+            X2, l2 = _encode_batch(s2, vocab, cfg)
+            feats = _pair_features(model, X1, l1, X2, l2, s1, s2)
+            yield pd.Series(list(feats))
+
+    return pair_features
+
+
+def make_missing_ratio_udf(artifact_path: str):
+    """(s_norm) → double missing-char ratio
+    ``1 - len(encoded)/max(1, len(tokens))`` vs the artifact's vocab
+    (P4, data_processing.py:368-397) — unknown tokens are dropped by
+    encode_tokens, so the ratio measures how much of the string the
+    pretrained vocabulary cannot represent."""
+
+    @pandas_udf(DoubleType())
+    def missing_ratio(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        _, vocab, cfg = load_artifacts(artifact_path)
+        tok_cfg = cfg.get("tokenize", ["char"])
+        for s in batches:
+            out = np.empty(len(s))
+            for i, x in enumerate(s.tolist()):
+                toks = string_split(
+                    x if x is not None else "",
+                    tokenize=tok_cfg,
+                    min_gram=cfg.get("min_gram", 1),
+                    max_gram=cfg.get("max_gram", 3),
+                    token_sep=cfg.get("token_sep", "default"),
+                    prefix_suffix=cfg.get("prefix_suffix", ["|", "|"]),
+                )
+                enc = encode_tokens(toks, vocab)
+                # len==0 → ratio 1.0 (reference removes empty rows too)
+                out[i] = (
+                    1.0 - len(enc) / max(1, len(toks)) if toks else 1.0
+                )
+            yield pd.Series(out)
+
+    return missing_ratio
 
 
 def _pair_features(model, X1, l1, X2, l2, s1: pd.Series, s2: pd.Series) -> np.ndarray:

@@ -167,3 +167,28 @@ def test_all_architectures_and_poolings_classify():
             if pool != "hstates_cosine":  # cosine returns raw [1-cos, cos]
                 np.testing.assert_allclose(p0 + p1, 1.0, atol=1e-5,
                                            err_msg=f"{arch}/{pool}")
+
+
+def test_torch_state_dict_roundtrip():
+    """from_torch_state_dict ∘ to_torch_state_dict == identity — the
+    import shim for reference-trained checkpoints converted by
+    tools/import_torch_state_dict.py (torch param naming:
+    rnn_networks.py:753-860)."""
+    rng = np.random.Generator(np.random.Philox(9))
+    m = SiameseRNN.from_seed(9, 20, architecture="gru", hidden_dim=10,
+                             embedding_dim=8, n_layers=2,
+                             pooling_mode="hstates_layers_simple")
+    state = m.to_torch_state_dict()
+    # torch-style names present
+    assert "emb.weight" in state
+    assert "rnn_1.weight_ih_l0" in state and "rnn_1.weight_ih_l1_reverse" in state
+    assert "attn_step1.weight" in state and "fc2.bias" in state
+    m2 = SiameseRNN.from_torch_state_dict(
+        state, architecture="gru", pooling_mode="hstates_layers_simple"
+    )
+    assert m2.n_layers == 2 and m2.hidden == 10 and m2.emb_dim == 8
+    for k in m.w:
+        np.testing.assert_array_equal(m.w[k], m2.w[k], err_msg=k)
+    X = rng.integers(1, 20, (4, 9)).astype(np.int64)
+    L = np.full(4, 9, dtype=np.int64)
+    np.testing.assert_array_equal(m.encode(X, L), m2.encode(X, L))
