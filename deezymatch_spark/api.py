@@ -35,6 +35,7 @@ from .model.scorer_udf import (
     make_missing_ratio_udf,
     make_pair_features_udf,
     make_pair_scorer_udf,
+    make_score_and_ratio_udf,
     save_artifacts,
 )
 from .model.train_numpy import fit as _fit_encoder
@@ -424,18 +425,20 @@ def inference(
         ordered.withColumn("s1_norm", normalize_udf(F.col("s1")))
         .withColumn("s2_norm", normalize_udf(F.col("s2")))
     )
+    # score + P4 ratios in ONE fused Arrow pass (a separate ratio UDF
+    # re-tokenizes both strings — measured 2x slower end-to-end)
+    sr = make_score_and_ratio_udf(artifact_path)
+    out = out.withColumn("_sr", sr(F.col("s1_norm"), F.col("s2_norm")))
     if missing_char_threshold is not None:
-        ratio = make_missing_ratio_udf(artifact_path)
         out = out.where(
-            (ratio(F.col("s1_norm")) <= missing_char_threshold)
-            & (ratio(F.col("s2_norm")) <= missing_char_threshold)
+            (F.col("_sr.ratio1") <= missing_char_threshold)
+            & (F.col("_sr.ratio2") <= missing_char_threshold)
         )
     if cutoff is not None:
         if "original_index" in out.columns:
             out = out.orderBy("original_index")
         out = out.limit(cutoff)
-    scorer = make_pair_scorer_udf(artifact_path, mode="siamese")
-    out = out.withColumn("p1", scorer(F.col("s1_norm"), F.col("s2_norm")))
+    out = out.withColumn("p1", F.col("_sr.p1"))
     return out.select(
         "s1", "s2",
         (F.col("p1") > 0.5).cast("int").alias("prediction"),

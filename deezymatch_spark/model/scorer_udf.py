@@ -34,6 +34,7 @@ __all__ = [
     "make_pair_scorer_udf",
     "make_pair_features_udf",
     "make_missing_ratio_udf",
+    "make_score_and_ratio_udf",
     "save_artifacts",
 ]
 
@@ -60,10 +61,16 @@ def load_artifacts(path: str) -> tuple[SiameseRNN, dict[str, int], dict]:
     return _CACHE[path]
 
 
-def _encode_batch(s: pd.Series, vocab, cfg) -> tuple[np.ndarray, np.ndarray]:
+def _encode_batch(
+    s: pd.Series, vocab, cfg, return_ratio: bool = False
+):
+    """Tokenize → encode → pad one Arrow batch. With ``return_ratio``
+    also emits the P4 missing-char ratio per row (computed from the
+    SAME tokenization pass — a separate ratio UDF would double the
+    Python tokenization work, measured 2x slower end-to-end)."""
     maxlen = cfg.get("max_seq_len", 120)
     tok_cfg = cfg.get("tokenize", ["char"])
-    rows, lens = [], []
+    rows, lens, ratios = [], [], []
     for x in s:
         toks = string_split(
             x if x is not None else "",
@@ -74,10 +81,15 @@ def _encode_batch(s: pd.Series, vocab, cfg) -> tuple[np.ndarray, np.ndarray]:
             prefix_suffix=cfg.get("prefix_suffix", ["|", "|"]),
         )
         idx = encode_tokens(toks, vocab)
+        if return_ratio:
+            ratios.append(1.0 - len(idx) / max(1, len(toks)) if toks else 1.0)
         padded, n = pad_sequence(idx, maxlen)
         rows.append(padded)
         lens.append(max(n, 1))  # packed seqs need len >= 1; all-pad row is inert
-    return np.stack(rows), np.asarray(lens, dtype=np.int64)
+    X, L = np.stack(rows), np.asarray(lens, dtype=np.int64)
+    if return_ratio:
+        return X, L, np.asarray(ratios)
+    return X, L
 
 
 def make_encode_vec_udf(artifact_path: str):
@@ -121,6 +133,36 @@ def make_pair_scorer_udf(artifact_path: str, mode: str = "combined"):
             yield pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return score_pairs
+
+
+def make_score_and_ratio_udf(artifact_path: str):
+    """(s1_norm, s2_norm) → struct<p1 double, ratio1 double,
+    ratio2 double>: siamese match probability plus both sides' P4
+    missing-char ratios from ONE tokenization pass. The inference test
+    path filters on the ratios and keeps p1 — fusing avoids a second
+    Arrow round-trip + re-tokenization (2x end-to-end)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("p1", DoubleType()),
+        StructField("ratio1", DoubleType()),
+        StructField("ratio2", DoubleType()),
+    ])
+
+    @pandas_udf(schema)
+    def score_and_ratio(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        model, vocab, cfg = load_artifacts(artifact_path)
+        for s1, s2 in it:
+            X1, l1, r1 = _encode_batch(s1, vocab, cfg, return_ratio=True)
+            X2, l2, r2 = _encode_batch(s2, vocab, cfg, return_ratio=True)
+            _, p1, _ = model.classify(X1, l1, X2, l2)
+            yield pd.DataFrame({
+                "p1": np.asarray(p1, dtype=np.float64),
+                "ratio1": r1,
+                "ratio2": r2,
+            })
+
+    return score_and_ratio
 
 
 def make_pair_features_udf(artifact_path: str):

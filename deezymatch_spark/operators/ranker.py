@@ -9,7 +9,12 @@ the same filters — provably the same final set for the faiss/cosine
 metrics (the early break only skips candidates that are farther in the
 ranking metric and would fail the threshold filter anyway; SURVEY.md §4).
 ``num_all_searches`` (the k the loop would have reached) is recomputed
-as a compatibility column.
+as a compatibility column, capped by the per-query SCORED pair count:
+identical to the reference for the exhaustive cross-join path; with a
+blocked ``pairs=`` input the cap reflects the blocked subset size, not
+the reference's full-|C| exhaustion cap (candidateRanker.py:501-510) —
+a documented divergence, since blocked mode has no reference
+counterpart to be compatible with.
 
 Semantic parity targets (reference test suite):
 - self-match faiss distance ≈ 0        (tests/test_pipeline_ngram.py:102-105)
