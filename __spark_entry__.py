@@ -546,9 +546,12 @@ def q_image_features(spark, sf):
     from deezymatch_spark.multimodal import image_features, synthetic_media
 
     media = synthetic_media(spark, 300, kind="image")
+    # cast float32→double BEFORE round: round(float32) stays float32 in
+    # Spark and its decimal serialization would diverge from the
+    # oracle's double arithmetic
     return image_features(media).select(
         "media_id", "width", "height", "channels",
-        F.round(F.element_at("feat", 1), 6).alias("feat_0"),
+        F.round(F.element_at("feat", 1).cast("double"), 6).alias("feat_0"),
         F.size("feat").cast("long").alias("feat_dim"),
     )
 
@@ -559,9 +562,34 @@ def q_audio_features(spark, sf):
     media = synthetic_media(spark, 300, kind="audio")
     return audio_features(media).select(
         "media_id", "sample_rate", "n_samples",
-        F.round("rms", 6).alias("rms"),
+        F.round(F.col("rms").cast("double"), 6).alias("rms"),
         F.size("feat").cast("long").alias("feat_dim"),
     )
+
+
+def _expected_media_rows(kind: str, n: int = 300):
+    """Pure-driver replica of synthetic_media + image/audio_features —
+    the multimodal oracles: the Spark mapInPandas path (partitioned,
+    Arrow-batched) must byte-match this single-process computation.
+    Raw doubles are inlined; the SQL applies the same round()."""
+    import numpy as np
+
+    from deezymatch_spark import multimodal as M
+
+    rows = []
+    for i in range(n):
+        if kind == "image":
+            payload = M.encode_fake_image(8 + i % 8, 8 + (i * 3) % 8, 3, seed=i)
+            w, h, c, px = M._decode_image(payload)
+            hist, _ = np.histogram(px, bins=16, range=(0, 256))
+            feat = (hist / max(px.size, 1)).astype(np.float32)
+            rows.append((i, w, h, c, float(feat[0]), 16))
+        else:
+            payload = M.encode_fake_audio(16000, 64 + (i * 7) % 64, seed=i)
+            sr, pcm = M._decode_audio(payload)
+            rms = float(np.sqrt(np.mean(pcm ** 2))) if pcm.size else 0.0
+            rows.append((i, sr, len(pcm), float(np.float32(rms)), 8))
+    return rows
 
 
 def q_lsh_ann_topk(spark, sf):
@@ -1002,6 +1030,24 @@ def oracle_sql() -> dict[str, str]:
                   from s)
             select query_id, candidate_id, rank, round(dist, 6) + 0.0 as dist
             from r where rank <= 5""",
+        "image_features": (
+            "select media_id, width, height, channels, "
+            "round(f0, 6) as feat_0, feat_dim from (values "
+            + ", ".join(
+                f"({m}, {w}, {h}, {c}, {f0!r}::double, {fd})"
+                for m, w, h, c, f0, fd in _expected_media_rows("image")
+            )
+            + ") as t(media_id, width, height, channels, f0, feat_dim)"
+        ),
+        "audio_features": (
+            "select media_id, sample_rate, n_samples, "
+            "round(r, 6) as rms, feat_dim from (values "
+            + ", ".join(
+                f"({m}, {sr}, {ns}, {r!r}::double, {fd})"
+                for m, sr, ns, r, fd in _expected_media_rows("audio")
+            )
+            + ") as t(media_id, sample_rate, n_samples, r, feat_dim)"
+        ),
         "train_metrics": (
             "select * from (values "
             + ", ".join(

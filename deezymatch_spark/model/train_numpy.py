@@ -440,9 +440,16 @@ def forward_backward(model: SiameseRNN, X1, l1, X2, l2, y,
 
 
 def classify_loss(model: SiameseRNN, X1, l1, X2, l2, y):
-    """Evaluation loss + predictions (no grads)."""
-    loss, p1, pred, _ = forward_backward(model, X1, l1, X2, l2, y,
-                                         compute_grads=False)
+    """Evaluation loss + predictions (no grads) via the cache-free
+    inference forward — identical arithmetic to the training forward
+    (asserted in the gradcheck tests) without allocating the per-step
+    BPTT caches."""
+    if model.pooling == "hstates_cosine":
+        raise ValueError("hstates_cosine has no CE loss path")
+    p0, p1, pred = model.classify(X1, l1, X2, l2)
+    y = np.asarray(y, dtype=np.int64)
+    p_true = np.where(y == 1, p1, p0)
+    loss = float(-np.log(np.maximum(p_true, 1e-12)).mean())
     return loss, p1, pred
 
 

@@ -70,9 +70,14 @@ def test_gradients_match_finite_differences(arch, pooling):
     l2 = rng.integers(2, T + 1, B)
     y = rng.integers(0, 2, B)
     loss, p1, _, grads = forward_backward(m, X1, l1, X2, l2, y)
-    # training forward must equal inference forward
+    # training forward must equal inference forward — both probs and
+    # the evaluation loss (classify_loss routes through the cache-free
+    # inference path)
     _, p1_inf, _ = m.classify(X1, l1, X2, l2)
     assert np.allclose(p1, p1_inf, atol=1e-9)
+    loss_eval, p1_eval, _ = classify_loss(m, X1, l1, X2, l2, y)
+    assert abs(loss - loss_eval) < 1e-9
+    assert np.allclose(p1, p1_eval, atol=1e-9)
     for name in sorted(grads):
         W = m.w[name]
         G = np.asarray(grads[name], dtype=np.float64)
