@@ -711,14 +711,24 @@ def oracle_sql() -> dict[str, str]:
         for b in range(32)
     )
 
+    # single source of truth: the oracle derives its marker sets and
+    # tie-break chain from the engine's LANG_MARKERS (Spark side takes
+    # greatest over (hits, code) structs → ties go to the LARGEST code)
+    from deezymatch_spark.functions.textstats import LANG_MARKERS
+
     markers = {
-        "en": "('the','and','of','to','is')",
-        "de": "('der','die','und','das','ist')",
-        "es": "('el','la','los','que','es')",
-        "fr": "('le','la','les','est','une')",
+        c: "(" + ",".join(f"'{w}'" for w in ws) + ")"
+        for c, ws in LANG_MARKERS.items()
     }
     hits = ", ".join(
         f"len(list_filter(toks, x -> x in {m})) as h_{c}" for c, m in markers.items()
+    )
+    _gall = "greatest(" + ", ".join(f"h_{c}" for c in markers) + ")"
+    _codes_desc = sorted(markers, reverse=True)
+    lang_case = (
+        f"case when {_gall} = 0 then 'und' "
+        + " ".join(f"when h_{c} = {_gall} then '{c}'" for c in _codes_desc[:-1])
+        + f" else '{_codes_desc[-1]}' end"
     )
     stop = "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be')"
     # note: '' inside the SQL single-quoted literal unescapes to one '
@@ -861,12 +871,7 @@ def oracle_sql() -> dict[str, str]:
               list_filter(string_split_regex(lower(trim(text)), '{_D_WORD_RE}'), x -> x != '') as toks
               from documents),
             h as (select doc_id, {hits} from t)
-            select doc_id,
-              case when greatest(h_en, h_de, h_es, h_fr) = 0 then 'und'
-                   when h_fr = greatest(h_en, h_de, h_es, h_fr) then 'fr'
-                   when h_es = greatest(h_en, h_de, h_es, h_fr) then 'es'
-                   when h_en = greatest(h_en, h_de, h_es, h_fr) then 'en'
-                   else 'de' end as pred_lang
+            select doc_id, {lang_case} as pred_lang
             from h""",
         "quality_score": f"""
             with t as (select doc_id, text,

@@ -42,6 +42,12 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "und", "das", "ist"],
     "es": ["el", "la", "los", "que", "es"],
     "fr": ["le", "la", "les", "est", "une"],
+    "it": ["il", "che", "di", "per", "con"],
+    "pt": ["uma", "para", "com", "os", "mais"],
+    "nl": ["het", "een", "van", "niet", "dat"],
+    "sv": ["och", "att", "det", "som", "har"],
+    "pl": ["nie", "jest", "czy", "jak", "ale"],
+    "tr": ["bir", "ve", "bu", "ile", "ama"],
 }
 
 

@@ -1,0 +1,57 @@
+"""Text-analysis operators: language-ID over all 10 marker sets,
+quality scoring shape, deterministic tie-break."""
+
+from pyspark.sql import functions as F
+
+from deezymatch_spark.functions.textstats import LANG_MARKERS, lang_id, quality_score
+
+SENTENCES = {
+    "en": "the cat and the dog of the house is to be seen",
+    "de": "der hund und die katze das haus ist der garten",
+    "es": "el perro y la casa los gatos que es grande",
+    "fr": "le chien et la maison les chats est une belle",
+    "it": "il cane che corre di casa per la strada con il gatto",
+    "pt": "uma casa para o gato com os amigos mais perto",
+    "nl": "het huis is een hond van niet weten dat het",
+    "sv": "och huset att det ar som har en hund",
+    "pl": "nie wiem czy to jest dobre jak ale mysle",
+    "tr": "bir ev ve bu kedi ile ama simdi bir",
+}
+
+
+def test_lang_id_detects_all_marker_languages(spark):
+    rows = [(code, s) for code, s in SENTENCES.items()]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    got = df.select("expected", lang_id(F.col("text")).alias("pred")).collect()
+    for r in got:
+        assert r.pred == r.expected, (r.expected, r.pred)
+
+
+def test_lang_id_und_and_tie_break(spark):
+    df = spark.createDataFrame(
+        [("zzz qqq xxx 123",),      # no markers anywhere
+         ("la la",)],               # 'la' is in both es and fr lists →
+                                    # tie broken to the LARGEST code (fr)
+        ["text"],
+    )
+    got = [r.pred for r in df.select(lang_id(F.col("text")).alias("pred")).collect()]
+    assert got[0] == "und"
+    assert got[1] == "fr"
+
+
+def test_marker_sets_shape():
+    assert len(LANG_MARKERS) == 10
+    for code, ws in LANG_MARKERS.items():
+        assert len(code) == 2
+        assert len(ws) == 5 and all(w == w.lower() for w in ws)
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog " * 5,),
+         ("!!!???;;;",)],
+        ["text"],
+    )
+    got = [r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= q <= 1.0 for q in got)
+    assert got[0] > got[1]
