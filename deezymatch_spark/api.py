@@ -135,6 +135,13 @@ def _collect_encoded(df: DataFrame, vocab: dict[str, int], cfg: dict, limit: int
         .limit(limit)
         .collect()
     )
+    if not rows:
+        # empty split (e.g. every label invalid, or val_prop=0): let
+        # callers decide — train treats an empty valid split as
+        # "no validation", an empty TRAIN split is a usage error there
+        return (np.zeros((0, 1), dtype=np.int64), np.zeros(0, dtype=np.int64),
+                np.zeros((0, 1), dtype=np.int64), np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.int64))
     maxlen = cfg.get("max_seq_len", 120)
     tk = {k: cfg[k] for k in ("tokenize", "min_gram", "max_gram",
                               "token_sep", "prefix_suffix")}
@@ -272,6 +279,11 @@ def train(
     metrics_rows: list[dict] = []
     if train_encoder and epochs > 0:
         train_data = _collect_encoded(train_df, vocab.tok2index, cfg, max_encoder_sample)
+        if not len(train_data[4]):
+            raise ValueError(
+                "train split is empty — no rows with valid true/false "
+                "labels reached the encoder fit"
+            )
         val_rows = _collect_encoded(val_df, vocab.tok2index, cfg, max_encoder_sample)
         valid_data = val_rows if len(val_rows[4]) else None
         model, metrics_rows = _fit_encoder(
@@ -355,6 +367,11 @@ def finetune(
     metrics_rows: list[dict] = []
     if epochs > 0:
         train_data = _collect_encoded(train_df, vocab, cfg, max_encoder_sample)
+        if not len(train_data[4]):
+            raise ValueError(
+                "finetune train split is empty (all rows invalid-labeled "
+                "or dropped by the missing-char filter)"
+            )
         val_rows = _collect_encoded(val_df, vocab, cfg, max_encoder_sample)
         valid_data = val_rows if len(val_rows[4]) else None
         model, metrics_rows = _fit_encoder(
