@@ -51,14 +51,26 @@ def save_artifacts(path: str, model: SiameseRNN, tok2index: dict[str, int], conf
 
 
 def load_artifacts(path: str) -> tuple[SiameseRNN, dict[str, int], dict]:
-    if path not in _CACHE:
+    # cache key includes the config mtime: re-training to the same path
+    # in a live session (or a finetune overwriting an artifact) must
+    # not serve the stale model from a long-lived python worker
+    try:
+        mtime = os.path.getmtime(os.path.join(path, "config.json"))
+    except OSError:
+        mtime = -1.0
+    key = f"{path}@{mtime}"
+    if key not in _CACHE:
         model = SiameseRNN.load(os.path.join(path, "model.npz"))
         with open(os.path.join(path, "vocab.json")) as f:
             vocab = json.load(f)
         with open(os.path.join(path, "config.json")) as f:
             config = json.load(f)
-        _CACHE[path] = (model, vocab, config)
-    return _CACHE[path]
+        # drop only superseded versions of THIS artifact (other models
+        # may be live in the same worker, e.g. ranker A + scorer B)
+        for k in [k for k in _CACHE if k.startswith(f"{path}@")]:
+            del _CACHE[k]
+        _CACHE[key] = (model, vocab, config)
+    return _CACHE[key]
 
 
 def _encode_batch(

@@ -192,3 +192,22 @@ def test_torch_state_dict_roundtrip():
     X = rng.integers(1, 20, (4, 9)).astype(np.int64)
     L = np.full(4, 9, dtype=np.int64)
     np.testing.assert_array_equal(m.encode(X, L), m2.encode(X, L))
+
+
+def test_artifact_cache_invalidation(tmp_path):
+    """Re-saving an artifact to the same path must not serve the stale
+    cached version (long-lived python workers cache by path+mtime)."""
+    import time
+
+    from deezymatch_spark.model.scorer_udf import load_artifacts, save_artifacts
+
+    m = SiameseRNN.from_seed(3, 10, hidden_dim=6, embedding_dim=4,
+                             n_layers=1, pooling_mode="hstates")
+    p = str(tmp_path / "art")
+    save_artifacts(p, m, {"a": 2}, {"tag": "v1"})
+    _, _, cfg1 = load_artifacts(p)
+    assert cfg1["tag"] == "v1"
+    time.sleep(0.02)
+    save_artifacts(p, m, {"a": 2}, {"tag": "v2"})
+    _, _, cfg2 = load_artifacts(p)
+    assert cfg2["tag"] == "v2"
