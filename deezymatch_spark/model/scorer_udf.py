@@ -104,6 +104,55 @@ def _encode_batch(
     return X, L
 
 
+# poolings whose per-row output is independent of the batch max length
+# (h_n-based). average/max/attention pool over the PADDED time axis
+# (torch adaptive-pool parity, numpy_rnn._pool), so their results depend
+# on T and must not be re-batched.
+_HSTATES_POOLINGS = frozenset({
+    "hstates", "hstates_layers", "hstates_layers_simple",
+    "hstates_subtract", "hstates_l2_distance", "hstates_cosine",
+})
+
+_CHUNK = 1024
+
+
+def _batch_encode(model, X, lens):
+    """Length-sorted chunked encode: recurrence cost is B×T_batchmax,
+    so sorting rows by length before chunking cuts padded steps ~2x on
+    mixed-length batches. encode() returns h_n only — per-row results
+    don't depend on batch composition, so this is semantics-free."""
+    n = len(lens)
+    if n <= _CHUNK:
+        return model.encode(X, lens)
+    order = np.argsort(lens, kind="stable")
+    out = None
+    for s in range(0, n, _CHUNK):
+        idx = order[s:s + _CHUNK]
+        v = model.encode(X[idx], lens[idx])
+        if out is None:
+            out = np.empty((n, v.shape[1]), dtype=v.dtype)
+        out[idx] = v
+    return out
+
+
+def _batch_classify(model, X1, l1, X2, l2):
+    """Chunked pair classification for h-state poolings (see
+    _batch_encode); T-dependent poolings run unchunked to preserve the
+    reference's padded-pool semantics."""
+    n = len(l1)
+    if n <= _CHUNK or model.pooling not in _HSTATES_POOLINGS:
+        return model.classify(X1, l1, X2, l2)
+    order = np.argsort(np.maximum(l1, l2), kind="stable")
+    p0 = np.empty(n)
+    p1 = np.empty(n)
+    pred = np.empty(n, dtype=np.int64)
+    for s in range(0, n, _CHUNK):
+        idx = order[s:s + _CHUNK]
+        a, b, c = model.classify(X1[idx], l1[idx], X2[idx], l2[idx])
+        p0[idx], p1[idx], pred[idx] = a, b, c
+    return p0, p1, pred
+
+
 def make_encode_vec_udf(artifact_path: str):
     """(key_norm) → array<float> of dim 2H (fwd‖bwd h_n) — N5."""
 
@@ -112,7 +161,7 @@ def make_encode_vec_udf(artifact_path: str):
         model, vocab, cfg = load_artifacts(artifact_path)
         for s in batches:
             X, lens = _encode_batch(s, vocab, cfg)
-            vecs = model.encode(X, lens)
+            vecs = _batch_encode(model, X, lens)
             yield pd.Series(list(np.asarray(vecs, dtype=np.float32)))
 
     return encode_vec
@@ -135,7 +184,7 @@ def make_pair_scorer_udf(artifact_path: str, mode: str = "combined"):
             X1, l1 = _encode_batch(s1, vocab, cfg)
             X2, l2 = _encode_batch(s2, vocab, cfg)
             if mode == "siamese":
-                _, p1, _ = model.classify(X1, l1, X2, l2)
+                _, p1, _ = _batch_classify(model, X1, l1, X2, l2)
                 yield pd.Series(np.asarray(p1, dtype=np.float64))
                 continue
             feats = _pair_features(model, X1, l1, X2, l2, s1, s2)
@@ -167,7 +216,7 @@ def make_score_and_ratio_udf(artifact_path: str):
         for s1, s2 in it:
             X1, l1, r1 = _encode_batch(s1, vocab, cfg, return_ratio=True)
             X2, l2, r2 = _encode_batch(s2, vocab, cfg, return_ratio=True)
-            _, p1, _ = model.classify(X1, l1, X2, l2)
+            _, p1, _ = _batch_classify(model, X1, l1, X2, l2)
             yield pd.DataFrame({
                 "p1": np.asarray(p1, dtype=np.float64),
                 "ratio1": r1,
@@ -232,8 +281,8 @@ def _pair_features(model, X1, l1, X2, l2, s1: pd.Series, s2: pd.Series) -> np.nd
     """[gru_cos, jw, 1 - lev/maxlen, jaccard3] per pair."""
     from ..functions.udfs import jaro_winkler
 
-    v1 = model.encode(X1, l1)
-    v2 = model.encode(X2, l2)
+    v1 = _batch_encode(model, X1, l1)
+    v2 = _batch_encode(model, X2, l2)
     num = (v1 * v2).sum(axis=1)
     den = np.maximum(np.linalg.norm(v1, axis=1) * np.linalg.norm(v2, axis=1), 1e-10)
     cos = num / den
