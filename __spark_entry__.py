@@ -484,8 +484,9 @@ def q_classification_metrics(spark, sf):
 
 
 def q_near_dedup_docs(spark, sf):
-    """Full near-dedup (LSH pairs → CC → keep min-id representative);
-    rows-only (transitive closure is not SQL-expressible)."""
+    """Full near-dedup (LSH pairs → CC → keep min-id representative).
+    Oracle: the shared minhash-pair CTEs + a recursive-CTE transitive
+    closure (min reachable id per node) in DuckDB."""
     from deezymatch_spark.operators import near_dedup
 
     d = _t(spark, sf, "documents").where(F.col("doc_id") < NEARDUP_LIMIT)
@@ -516,6 +517,7 @@ def q_events_hourly(spark, sf):
 
 
 # ------- NFKD parity (rows-only: DuckDB lacks NFKD), ANN, multimodal,
+# ------- near-dedup closure (oracled via recursive CTE),
 # ------- pipeline. lsh/ivf_ann_topk ARE oracle-checked (deterministic
 # ------- planes/centroids inlined into the DuckDB SQL).
 
@@ -736,6 +738,36 @@ def oracle_sql() -> dict[str, str]:
 
     norm_docs = f"(select doc_id, {_D_NORM} as t from documents)"
 
+    # shared CTE chain for the minhash near-dup family: mutated corpus →
+    # 5-gram shingles → 8-hash minhash → 4 LSH band keys → hot-bucket cap
+    # → candidate pairs → exact-Jaccard verification (mirrors
+    # operators/dedup.py:minhash_dup_pairs with the q_near_dedup params)
+    neardup_ctes = f"""
+            src as (
+              select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
+              union all
+              select doc_id + 1000000, text || ' near duplicate suffix'
+              from documents where doc_id < {NEARDUP_LIMIT}),
+            base as (select doc_id as id,
+                       list_distinct({_d_grams("lower(trim(text))", 5)}) as grams
+                     from src),
+            nz as (select * from base where len(grams) > 0),
+            sig as (select id, grams, {_d_minhash("grams", 8)} as mh from nz),
+            keys as (select id, cast(b as varchar)||':'||md5(list_aggregate(
+                       list_transform(mh[b*2+1:b*2+2], v -> cast(v as varchar)),
+                       'string_agg', ',')) as bk
+                     from sig, generate_series(0,3) as t(b)),
+            good as (select bk from keys group by bk having count(*) <= 500),
+            k2 as (select keys.* from keys join good using(bk)),
+            cand as (select distinct a.id as id1, b.id as id2
+                     from k2 a join k2 b using(bk) where a.id < b.id),
+            j as (select id1, id2,
+                    len(list_intersect(g1.grams, g2.grams))::double
+                      / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))) as jaccard
+                  from cand
+                  join nz g1 on g1.id = cand.id1
+                  join nz g2 on g2.id = cand.id2)"""
+
     return {
         "normalize_basic": f"select doc_id, {_D_NORM} as text_norm from documents",
         "token_stats": f"""
@@ -947,32 +979,23 @@ def oracle_sql() -> dict[str, str]:
             select id1, id2, round(cosine, 6) + 0.0 as cosine
             from p where cosine <= {EMBDUP_THRESHOLD}""",
         "minhash_dup_pairs": f"""
-            with src as (
-              select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
-              union all
-              select doc_id + 1000000, text || ' near duplicate suffix'
-              from documents where doc_id < {NEARDUP_LIMIT}),
-            base as (select doc_id as id,
-                       list_distinct({_d_grams("lower(trim(text))", 5)}) as grams
-                     from src),
-            nz as (select * from base where len(grams) > 0),
-            sig as (select id, grams, {_d_minhash("grams", 8)} as mh from nz),
-            keys as (select id, cast(b as varchar)||':'||md5(list_aggregate(
-                       list_transform(mh[b*2+1:b*2+2], v -> cast(v as varchar)),
-                       'string_agg', ',')) as bk
-                     from sig, generate_series(0,3) as t(b)),
-            good as (select bk from keys group by bk having count(*) <= 500),
-            k2 as (select keys.* from keys join good using(bk)),
-            cand as (select distinct a.id as id1, b.id as id2
-                     from k2 a join k2 b using(bk) where a.id < b.id),
-            j as (select id1, id2,
-                    len(list_intersect(g1.grams, g2.grams))::double
-                      / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))) as jaccard
-                  from cand
-                  join nz g1 on g1.id = cand.id1
-                  join nz g2 on g2.id = cand.id2)
+            with {neardup_ctes}
             select id1, id2, round(jaccard, 6) as jaccard
             from j where jaccard >= 0.3""",
+        "near_dedup_docs": f"""
+            with recursive {neardup_ctes},
+            pairs as (select id1, id2 from j where jaccard >= 0.3),
+            edges as (select id1 as a, id2 as b from pairs
+                      union all
+                      select id2 as a, id1 as b from pairs),
+            walk(node, comp) as (
+              select distinct a as node, a as comp from edges
+              union
+              select e.b as node, w.comp from walk w join edges e on e.a = w.node),
+            comp as (select node, min(comp) as component from walk group by node)
+            select doc_id from src
+            where doc_id not in
+              (select node from comp where node != component)""",
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value
