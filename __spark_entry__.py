@@ -569,6 +569,40 @@ def q_audio_features(spark, sf):
     )
 
 
+def q_video_frame_sample(spark, sf):
+    from pyspark.sql import functions as F2
+
+    from deezymatch_spark.multimodal import frame_sample, synthetic_media
+
+    media = synthetic_media(spark, 120, kind="video")
+    return frame_sample(media, every_n=5).select(
+        "media_id", "frame_idx", "width", "height",
+        F2.md5(F2.col("frame_png")).alias("frame_md5"),
+    )
+
+
+def _expected_frame_rows(n: int = 120, every_n: int = 5):
+    """Pure-driver replica of synthetic_media(kind='video') +
+    frame_sample — the video oracle: the distributed mapInPandas path
+    must byte-match this single-process computation (frame bytes
+    compared via md5 so no binary crosses the hash compare)."""
+    import hashlib
+    import struct as _struct
+
+    import numpy as np
+
+    from deezymatch_spark import multimodal as M
+
+    rows = []
+    for i in range(n):
+        payload = M.encode_fake_video(24, 12 + i % 12, 4 + i % 4, 4 + (i * 3) % 4, 3, seed=i)
+        _, nf, w, h, c, frames = M._decode_video(payload)
+        for idx in range(0, nf, every_n):
+            png = M._IMG_MAGIC + _struct.pack("<HHB", w, h, c) + frames[idx].tobytes()
+            rows.append((i, idx, w, h, hashlib.md5(png).hexdigest()))
+    return rows
+
+
 def _expected_media_rows(kind: str, n: int = 300):
     """Pure-driver replica of synthetic_media + image/audio_features —
     the multimodal oracles: the Spark mapInPandas path (partitioned,
@@ -694,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
         "train_metrics": q_train_metrics,
         "pipeline_entity_clusters": q_pipeline_entity_clusters,
     }
@@ -1075,6 +1110,14 @@ def oracle_sql() -> dict[str, str]:
                 for m, sr, ns, r, fd in _expected_media_rows("audio")
             )
             + ") as t(media_id, sample_rate, n_samples, r, feat_dim)"
+        ),
+        "video_frame_sample": (
+            "select media_id, frame_idx, width, height, frame_md5 from (values "
+            + ", ".join(
+                f"({m}, {fi}, {w}, {h}, '{md5}')"
+                for m, fi, w, h, md5 in _expected_frame_rows()
+            )
+            + ") as t(media_id, frame_idx, width, height, frame_md5)"
         ),
         "train_metrics": (
             "select * from (values "

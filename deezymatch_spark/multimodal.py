@@ -12,6 +12,8 @@ the distributed path is exercised end to end.
 Synthetic payload format (deterministic, self-describing):
     b"FAKEIMG1" + width:uint16 + height:uint16 + channels:uint8 + pixels
     b"FAKEAUD1" + sample_rate:uint32 + n_samples:uint32 + pcm16 samples
+    b"FAKEVID1" + fps:uint16 + n_frames:uint16 + width:uint16
+                + height:uint16 + channels:uint8 + raw frames
 Real decoders (PIL / soundfile / av) drop into the same ``_decode_*``
 seams without touching any Spark code.
 """
@@ -39,6 +41,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "encode_fake_image",
     "encode_fake_audio",
+    "encode_fake_video",
     "image_features",
     "audio_features",
     "frame_sample",
@@ -57,6 +60,7 @@ MEDIA_SCHEMA = StructType(
 
 _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
+_VID_MAGIC = b"FAKEVID1"
 
 
 def encode_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
@@ -70,6 +74,22 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
     rng = np.random.Generator(np.random.Philox(seed))
     pcm = rng.integers(-32768, 32767, size=n_samples, dtype=np.int16)
     return _AUD_MAGIC + struct.pack("<II", sample_rate, n_samples) + pcm.tobytes()
+
+
+def encode_fake_video(
+    fps: int, n_frames: int, width: int, height: int, channels: int, seed: int
+) -> bytes:
+    """Deterministic synthetic video payload: raw frames from
+    Philox(seed), one contiguous w*h*c block per frame."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    frames = rng.integers(
+        0, 256, size=n_frames * width * height * channels, dtype=np.uint8
+    )
+    return (
+        _VID_MAGIC
+        + struct.pack("<HHHHB", fps, n_frames, width, height, channels)
+        + frames.tobytes()
+    )
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -169,26 +189,62 @@ def audio_features(df: DataFrame, *, n_frames: int = 8) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(fn, schema=_AUD_FEAT_SCHEMA)
 
 
-def frame_sample(df: DataFrame, *, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — pure stub: video codecs are unavailable,
-    so this raises at plan execution, documenting the intended
-    signature ([media_id, frame_idx, frame_png binary])."""
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("frame_idx", IntegerType()),
-            StructField("frame_png", BinaryType()),
-        ]
+def _decode_video(payload: bytes) -> tuple[int, int, int, int, int, np.ndarray]:
+    """→ (fps, n_frames, width, height, channels, frames[n, w*h*c]).
+    Only the synthetic format is implemented; real formats raise."""
+    if payload[:8] == _VID_MAGIC:
+        fps, n, w, h, c = struct.unpack("<HHHHB", payload[8:17])
+        frames = np.frombuffer(
+            payload, dtype=np.uint8, offset=17, count=n * w * h * c
+        ).reshape(n, w * h * c)
+        return fps, n, w, h, c, frames
+    raise NotImplementedError(
+        "real video codecs (av/ffmpeg) are not available in this "
+        "environment — only the FAKEVID1 synthetic format decodes"
     )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video frame sampling needs a codec (av/ffmpeg) not present "
-            "in this environment"
-        )
-        yield  # pragma: no cover
 
-    return df.select("media_id", "payload").mapInPandas(fn, schema=schema)
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_png", BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, *, every_n: int = 10) -> DataFrame:
+    """Video frame sampling → one row per sampled frame
+    [media_id, frame_idx, width, height, frame_png]: decode the video
+    payload, keep every ``every_n``-th frame, re-encode each kept frame
+    as a standalone image payload (FAKEIMG1 here — a real deployment
+    swaps in PNG encode at the same seam).
+
+    Same scale shape as :func:`image_features`: ``mapInPandas``
+    preserves partitioning (no shuffle), one Arrow crossing per batch,
+    and the (wide) video payload column never leaves the map — each
+    output row carries only its single frame's bytes. Fan-out is
+    bounded at n_frames/every_n rows per input row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                _, n, w, h, c, frames = _decode_video(bytes(payload))
+                for idx in range(0, n, every_n):
+                    png = (
+                        _IMG_MAGIC
+                        + struct.pack("<HHB", w, h, c)
+                        + frames[idx].tobytes()
+                    )
+                    rows.append((mid, idx, w, h, png))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height", "frame_png"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, schema=_FRAME_SCHEMA)
 
 
 def synthetic_media(spark, n_rows: int, *, kind: str = "image") -> DataFrame:
@@ -203,6 +259,11 @@ def synthetic_media(spark, n_rows: int, *, kind: str = "image") -> DataFrame:
                 if kind == "image":
                     payload = encode_fake_image(8 + i % 8, 8 + (i * 3) % 8, 3, seed=i)
                     mime = "image/x-fake"
+                elif kind == "video":
+                    payload = encode_fake_video(
+                        24, 12 + i % 12, 4 + i % 4, 4 + (i * 3) % 4, 3, seed=i
+                    )
+                    mime = "video/x-fake"
                 else:
                     payload = encode_fake_audio(16000, 64 + (i * 7) % 64, seed=i)
                     mime = "audio/x-fake"

@@ -60,7 +60,32 @@ def test_real_codec_raises(spark):
         image_features(df).collect()
 
 
-def test_frame_sample_stub(spark):
-    media = synthetic_media(spark, 2, kind="image")
+def test_frame_sample(spark):
+    """Every every_n-th frame of each video comes back as a standalone
+    decodable image payload with the source frame's exact bytes."""
+    from deezymatch_spark.multimodal import _decode_image, _decode_video
+
+    media = synthetic_media(spark, 12, kind="video")
+    out = frame_sample(media, every_n=5).orderBy("media_id", "frame_idx").collect()
+
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    n_expected = 0
+    for mid, payload in payloads.items():
+        _, n, w, h, c, frames = _decode_video(payload)
+        idxs = list(range(0, n, 5))
+        n_expected += len(idxs)
+        got = [r for r in out if r.media_id == mid]
+        assert [r.frame_idx for r in got] == idxs
+        for r in got:
+            fw, fh, fc, px = _decode_image(bytes(r.frame_png))
+            assert (fw, fh, fc) == (w, h, c) == (r.width, r.height, c)
+            assert px.astype("uint8").tobytes() == frames[r.frame_idx].tobytes()
+    assert len(out) == n_expected
+
+
+def test_frame_sample_real_codec_raises(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x00\x00\x00\x18ftypmp42notreally")], "media_id long, payload binary"
+    )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
-        frame_sample(media).collect()
+        frame_sample(df).collect()
