@@ -8,9 +8,11 @@ Default N=2 vs 4N=8: this Firecracker VM cannot deliver 4x real
 compute from 8->32 threads even for pure whole-stage-codegen work with
 zero shuffle (measured ceiling: 2.68x speedup = 0.67 efficiency on a
 4B-row xxhash aggregation), so 8->32 results say nothing about the
-JOB's scalability. 2->8 the hardware ceiling is 3.28x (0.82), which a
-well-partitioned job can approach. The ceiling microbenchmark runs
-alongside and is reported for context.
+JOB's scalability. 2->8 the hardware ceiling spans 0.73-0.89 by
+session, which a well-partitioned job can approach. The ceiling
+microbenchmark runs alongside and is reported for context; every run
+(with its same-session ceiling) is appended to tools/scaling_runs.jsonl
+and the BASELINE.md table is regenerated from the full log.
 
 Usage: python tools/scaling.py [n_pages] [--low 2] [--high 8]
 """
@@ -117,35 +119,72 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    # append this run to the cumulative log, then regenerate the
+    # BASELINE.md section from ALL logged runs — a single run must not
+    # clobber the cross-session evidence (wall times for identical code
+    # vary up to ~3x with host co-tenancy)
+    log_path = os.path.join(REPO, "tools", "scaling_runs.jsonl")
+    entry = {
+        "session": "latest",
+        "n_pages": args.n_pages,
+        "cores_low": args.low, "cores_high": args.high,
+        "sec_low": t_lo, "sec_high": t_hi,
+        "docs_per_sec_low": result["docs_per_sec_low"],
+        "docs_per_sec_high": result["docs_per_sec_high"],
+        "efficiency": result["efficiency"],
+        "ceiling_efficiency": ceiling["efficiency"],
+        "job_over_ceiling": result["efficiency_vs_ceiling"],
+    }
+    with open(log_path, "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+    runs = [json.loads(ln) for ln in open(log_path) if ln.strip()]
+
+    def fmt(r):
+        lo = (f"{r['sec_low']} s / {r['docs_per_sec_low']}"
+              if r["sec_low"] else "—")
+        hi = (f"{r['sec_high']} s / {r['docs_per_sec_high']}"
+              if r["sec_high"] else "—")
+        return (f"| {r['session']} | {r['n_pages']:,} | {lo} | {hi} | "
+                f"{r['efficiency']} | {r['ceiling_efficiency']} | "
+                f"{r['job_over_ceiling']} |")
+
+    effs = [r["efficiency"] for r in runs]
+    ceils = [r["ceiling_efficiency"] for r in runs]
+    jocs = [r["job_over_ceiling"] for r in runs]
     block = (
         "## Measured scaling (sandbox, flagship ER pipeline)\n\n"
         "Same job, same deterministic input, two parallelism levels "
-        "(single-node stand-in for N vs 4N executors per BASELINE.json):\n\n"
-        "| cores | wall (s) | docs/sec |\n|---|---|---|\n"
-        f"| local[{args.low}] | {t_lo} | {result['docs_per_sec_low']} |\n"
-        f"| local[{args.high}] | {t_hi} | {result['docs_per_sec_high']} |\n\n"
-        f"n_pages = {args.n_pages}; speedup = {result['speedup']}x over a "
-        f"{ratio:g}x core increase -> **scaling efficiency = "
-        f"{result['efficiency']}** (target >= 0.8: "
-        f"{'PASS' if result['pass'] else 'FAIL'}).\n\n"
-        "**Hardware ceiling caveat (essential context).** This Firecracker "
-        "VM does not deliver linear compute with added threads: a pure "
-        "whole-stage-codegen aggregation (2B-row xxhash sum — zero shuffle, "
-        "zero Python, zero disk), measured in the SAME session as the run "
-        f"above, speeds up only {ceiling['speedup']}x over the same "
-        f"{ratio:g}x core range ({ceiling['efficiency']} efficiency; "
-        "8→32 threads the ceiling drops to ~0.67, which is why the N/4N "
-        "pair is 2/8). No Spark job can out-scale its substrate. Measured "
-        "against that ceiling, the ER pipeline achieves "
-        f"**{result['efficiency_vs_ceiling']} of the attainable speedup** — "
-        "the job's own parallel structure loses the remainder to fixed "
-        "per-run latency (python-worker pool spin-up, ~25 stage barriers, "
-        "CC driver rounds; Amdahl fit) that a real multi-executor cluster "
-        "amortizes over far larger inputs. The absolute >=0.8 criterion of "
-        "the north rule targets N vs 4N *executors* on a cluster; on this "
-        "single throttled VM the ceiling itself sits below 0.8, so the "
-        "ceiling-relative number is the honest evidence. Raw ceiling "
-        "numbers are in the `hw_ceiling` field of every run's JSON.\n"
+        "(single-node stand-in for N vs 4N executors per BASELINE.json). "
+        "All logged runs of `python tools/scaling.py` (each row best-of-"
+        f"{args.reps} bench-subprocess reps, each rep itself best-of-N "
+        "inside the process; the per-session hardware-ceiling "
+        "microbenchmark runs alongside each):\n\n"
+        "| session | n_pages | local[lo] wall / docs/s | local[hi] wall "
+        "/ docs/s | absolute eff | same-session ceiling eff | "
+        "job / ceiling |\n|---|---|---|---|---|---|---|\n"
+        + "\n".join(fmt(r) for r in runs)
+        + "\n\n**Hardware ceiling caveat (essential context).** This "
+        "Firecracker VM does not deliver linear compute with added "
+        "threads, and how much it delivers varies by session: the pure "
+        "whole-stage-codegen ceiling (2B-row xxhash sum — zero shuffle, "
+        "zero Python, zero disk), measured in the SAME session as each "
+        f"run above, spans **{min(ceils)}–{max(ceils)} efficiency over "
+        "the same 4x core range** (8→32 threads it drops to ~0.67, which "
+        "is why the N/4N pair is 2/8). No Spark job can out-scale its "
+        "substrate, and wall times for identical code vary up to ~3x "
+        "with co-tenancy (see `hw_probe_sec` in BENCH_r{N}.json). "
+        "Measured against the same-session ceiling, the ER pipeline "
+        f"reaches **{min(jocs)}–{max(jocs)} of the attainable speedup** "
+        "across sessions; an Amdahl fit attributes the residual to "
+        "~25 s of per-run fixed latency (python-worker pool spin-up, "
+        "~25 stage barriers, CC driver rounds) that a real "
+        "multi-executor cluster amortizes over far larger inputs. The "
+        "absolute >=0.8 criterion of the north rule targets N vs 4N "
+        "*executors* on a cluster; on this single throttled VM the "
+        f"sandbox evidence is the absolute {min(effs)}–{max(effs)} plus "
+        f"the ceiling-relative {min(jocs)}–{max(jocs)}, reported "
+        "together rather than hiding either. Raw ceiling numbers are in "
+        "the `hw_ceiling` field of every run's JSON.\n"
     )
     path = os.path.join(REPO, "BASELINE.md")
     text = open(path).read()
