@@ -95,11 +95,26 @@ def er_stages(
     ngram: int = 3,
     pair_scorer=None,
     conf_threshold: float = 0.5,
+    use_minhash: bool = False,
     spark: SparkSession | None = None,
     work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Build (and optionally checkpoint) all stages; returns each stage's
-    DataFrame keyed by name. ``pages`` needs the input_hint 5 columns."""
+    DataFrame keyed by name. ``pages`` needs the input_hint 5 columns.
+
+    ``use_minhash``: add the MinHash-band key family to the blocking.
+    OFF by default for this pipeline — measured at 200k pages
+    (same-session A/B, best-of-2): the m: bands add ~7M candidate pairs
+    to the fused block+score join (~20-25% pipeline wall) while
+    recovering only 190 of 299,430 match pairs; blocking recall
+    0.999853 without vs 0.99996 with, pairwise F1 1.0 either way —
+    prefix char-grams + exact words already recall lev<=2 edits on
+    short titles because an edit can corrupt at most ``lev_max`` of the
+    ~10 prefix grams. Enable it for LONG-text keys (where single edits
+    can wipe out shared prefix grams) or when the hot-key cap removes
+    most gram keys; the dedup operators (operators/dedup.py) always use
+    their own MinHash path regardless.
+    """
     spark = spark or pages.sparkSession
 
     # S0 — extract + normalize. html is pruned immediately after the
@@ -126,6 +141,7 @@ def er_stages(
     scored_raw = scored_candidate_pairs(
         docs, "id", "title_norm",
         lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
+        use_minhash=use_minhash,
     )
     scored = scored_raw.withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
     if pair_scorer is not None:
@@ -142,7 +158,7 @@ def er_stages(
     # not materialized — computed only if a caller runs an action on it
     pairs = candidate_pairs(
         docs, "id", "title_norm", max_block_size=max_block_size, ngram=ngram,
-        persist_keys=False,
+        use_minhash=use_minhash, persist_keys=False,
     )
 
     # S3 — match filter

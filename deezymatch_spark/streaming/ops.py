@@ -71,6 +71,7 @@ def streaming_entity_matches(
     jw_threshold: float = 0.82,
     lev_max: int = 2,
     max_block_size: int = 100,
+    use_minhash: bool = False,
     checkpoint_dir: str,
     output_dir: str,
 ):
@@ -86,16 +87,18 @@ def streaming_entity_matches(
     output is effectively exactly-once.
 
     → StreamingQuery (caller awaits/stops it)."""
-    cand_keys = blocking_keys(candidates, "id", "title_norm").withColumnRenamed(
-        "id", "cand_id"
-    )
+    # same key-family default as the batch pipeline: m: bands off for
+    # short-title matching (see er_stages docstring for the measurement)
+    cand_keys = blocking_keys(
+        candidates, "id", "title_norm", use_minhash=use_minhash
+    ).withColumnRenamed("id", "cand_id")
     cand_titles = candidates.select(
         F.col("id").alias("cand_id"), F.col("title_norm").alias("cand_title")
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df
-        keys = blocking_keys(docs, "id", "title_norm")
+        keys = blocking_keys(docs, "id", "title_norm", use_minhash=use_minhash)
         pairs = (
             keys.join(cand_keys, "block_key")
             .select("id", "cand_id")
