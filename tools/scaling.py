@@ -163,7 +163,17 @@ def main() -> None:
         "/ docs/s | absolute eff | same-session ceiling eff | "
         "job / ceiling |\n|---|---|---|---|---|---|---|\n"
         + "\n".join(fmt(r) for r in runs)
-        + "\n\n**Hardware ceiling caveat (essential context).** This "
+        + "\n\n**Ratio vs absolute (read this before the efficiency "
+        "column).** Rows measure different pipeline configurations; a "
+        "config that removes work (e.g. r2-c: MinHash bands off for "
+        "title ER, PLANS.md #12) can show HIGHER absolute docs/sec at "
+        "every core count yet a LOWER efficiency ratio, because the "
+        "removed work was the most parallel-friendly part — a job can "
+        "always buy a prettier ratio by adding embarrassingly-parallel "
+        "waste. Prefer the best absolute throughput at the target core "
+        "count and judge scalability by the ceiling-relative number "
+        "alongside it.\n\n"
+        "**Hardware ceiling caveat (essential context).** This "
         "Firecracker VM does not deliver linear compute with added "
         "threads, and how much it delivers varies by session: the pure "
         "whole-stage-codegen ceiling (2B-row xxhash sum — zero shuffle, "
@@ -172,19 +182,20 @@ def main() -> None:
         "the same 4x core range** (8→32 threads it drops to ~0.67, which "
         "is why the N/4N pair is 2/8). No Spark job can out-scale its "
         "substrate, and wall times for identical code vary up to ~3x "
-        "with co-tenancy (see `hw_probe_sec` in BENCH_r{N}.json). "
-        "Measured against the same-session ceiling, the ER pipeline "
-        f"reaches **{min(jocs)}–{max(jocs)} of the attainable speedup** "
-        "across sessions; an Amdahl fit attributes the residual to "
-        "~25 s of per-run fixed latency (python-worker pool spin-up, "
-        "~25 stage barriers, CC driver rounds) that a real "
-        "multi-executor cluster amortizes over far larger inputs. The "
-        "absolute >=0.8 criterion of the north rule targets N vs 4N "
-        "*executors* on a cluster; on this single throttled VM the "
-        f"sandbox evidence is the absolute {min(effs)}–{max(effs)} plus "
-        f"the ceiling-relative {min(jocs)}–{max(jocs)}, reported "
-        "together rather than hiding either. Raw ceiling numbers are in "
-        "the `hw_ceiling` field of every run's JSON.\n"
+        "with co-tenancy (see `hw_probe_sec` in BENCH_r{N}.json). An "
+        "Amdahl fit shows a non-core-scaling component that GROWS with "
+        "input (~29 s at 1M, ~41 s at 4M pages): not constant job-setup "
+        "cost but the parts bounded by shared substrate — shuffle-spill "
+        "disk bandwidth, memory bandwidth for the cached doc table, "
+        "Arrow serialization — which added threads on one throttled VM "
+        "cannot speed up, while a real multi-executor cluster adds "
+        "disks/memory channels WITH the cores. The absolute >=0.8 "
+        "criterion of the north rule targets N vs 4N *executors* on a "
+        "cluster; the sandbox evidence is the absolute "
+        f"{min(effs)}–{max(effs)} plus the ceiling-relative "
+        f"{min(jocs)}–{max(jocs)}, reported together rather than hiding "
+        "either. Raw ceiling numbers are in the `hw_ceiling` field of "
+        "every run's JSON.\n"
     )
     path = os.path.join(REPO, "BASELINE.md")
     text = open(path).read()
