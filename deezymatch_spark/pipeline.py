@@ -146,6 +146,10 @@ def er_stages(
     scored = scored_raw.withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
     if pair_scorer is not None:
         scored = scored.withColumn("p1", pair_scorer(F.col("t1"), F.col("t2")))
+    # drop the pair strings before the stage sink: downstream needs only
+    # ids + scores, and at 10^12 docs writing two titles per scored pair
+    # doubles the checkpoint's bytes for inspection-only value
+    scored = scored.drop("t1", "t2")
     scored = _materialize(spark, scored, work_dir, "s2_scored")
     if work_dir is not None:
         # the stage parquet is durable — drop blocking's persisted keys
