@@ -208,13 +208,21 @@ def main() -> None:
 
             # best-of-3 full runs: identical pipeline runs vary up to
             # ~3x under host co-tenancy (see PLANS.md); min is the
-            # least-contended estimate of the job's actual cost
+            # least-contended estimate of the job's actual cost.
+            # clearCache() before EVERY rep: the pipeline persists its
+            # docs/keys frames and Spark's CacheManager substitutes
+            # cached plans into later identical queries, so without it
+            # reps 2-3 silently skip generation + normalization + key
+            # building (measured 62s cold vs 19s cache-warm at 4M pages)
+            # — each rep must be data-cold, JIT-warm.
             els = []
             for _ in range(3):
+                spark.catalog.clearCache()
                 t1 = time.time()
                 n_rows = run_er_pipeline(spark, n_pages=n_pages).count()
                 els.append(time.time() - t1)
             el = min(els)
+            spark.catalog.clearCache()
             extras["pages"] = n_pages
             extras["pages_per_sec"] = round(n_pages / el, 1)
             extras["pipeline_out_rows"] = n_rows

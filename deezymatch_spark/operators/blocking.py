@@ -130,16 +130,51 @@ def blocking_keys(
     return out.unionByName(mh_keys)
 
 
-def _cap_hot_keys(keys: DataFrame, max_block_size: int) -> DataFrame:
-    """Drop keys with more members than ``max_block_size``.
+def _hash_block_keys(keys: DataFrame) -> DataFrame:
+    """Map string block keys to int64 for the join-internal path.
 
-    One extra aggregation on (block_key) — cheap relative to the pair
-    explosion it prevents. At 100 TB this is the difference between a
-    bounded shuffle and a single reducer receiving the 'the'-ngram."""
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
-    return (
-        keys.join(sizes.where(F.col("_bs") <= max_block_size).select("block_key"), "block_key")
+    The pair joins never emit the key, so its representation is free to
+    change: an 8-byte long shuffles/sorts ~2-4x cheaper than the
+    'g:'/'w:'/'m:' strings. A cross-key 64-bit collision merges two
+    blocks — consequence is a handful of spurious candidates (removed by
+    the downstream lev/JW gates) or, worst case, a merged block tripping
+    the hot-key cap; expected collisions for 10^9 distinct keys are
+    ~0.03, so this is noise, not a recall term."""
+    return keys.withColumn("block_key", F.xxhash64("block_key"))
+
+
+def _size_split(
+    keys: DataFrame, max_block_size: int, salt_threshold: int
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split keys into (small, hot-but-salvageable) WITHOUT shuffling the
+    payload-carrying key rows.
+
+    The obvious plan — aggregate sizes, inner-join them back — shuffles
+    the full key set a second time (and sorts it, since the good-key
+    list is far too big to broadcast). Inverted here: sizes aggregate
+    map-side (only distinct keys shuffle), and the *exceptional* keys —
+    capped (> max_block_size) or salt-range (> salt_threshold) — are a
+    tiny list by construction (each has > threshold members, so there
+    are at most |key_rows|/threshold of them; Zipf makes it far fewer),
+    broadcast back as anti/semi joins. The key rows themselves never
+    move. The tiny list is lazily localCheckpointed so its aggregation
+    runs once even though up to three broadcasts consume it."""
+    lo = min(max_block_size, salt_threshold)
+    exceptional = (
+        keys.groupBy("block_key")
+        .agg(F.count("*").alias("_bs"))
+        .where(F.col("_bs") > lo)
+        .localCheckpoint(eager=False)
     )
+    dropped = exceptional.where(F.col("_bs") > max_block_size).select("block_key")
+    good = keys.join(F.broadcast(dropped), "block_key", "left_anti")
+    if salt_threshold >= max_block_size:
+        # every surviving block is below the salt threshold — no hot tier
+        return good, None
+    salt_keys = exceptional.where(F.col("_bs") <= max_block_size).select("block_key")
+    small = good.join(F.broadcast(salt_keys), "block_key", "left_anti")
+    hot = good.join(F.broadcast(salt_keys), "block_key", "left_semi")
+    return small, hot
 
 
 def block_join(
@@ -157,12 +192,22 @@ def block_join(
     n_salt) folded into the join key, the left side is exploded across
     all salts. This bounds the largest reducer at
     max_block_size/n_salt rows of build side per key.
+
+    The cap is applied as a broadcast anti-join on the (tiny, bounded
+    by |key_rows|/max_block_size) over-cap key list, so neither side's
+    key rows shuffle for the cap — only the pair join itself shuffles.
     """
+    left_keys = _hash_block_keys(left_keys)
+    right_keys = _hash_block_keys(right_keys)
     both = left_keys.select("block_key").unionByName(right_keys.select("block_key"))
-    sizes = both.groupBy("block_key").agg(F.count("*").alias("_bs"))
-    good = sizes.where(F.col("_bs") <= max_block_size).select("block_key")
-    lk = left_keys.join(good, "block_key")
-    rk = right_keys.join(good, "block_key")
+    dropped = (
+        both.groupBy("block_key")
+        .agg(F.count("*").alias("_bs"))
+        .where(F.col("_bs") > max_block_size)
+        .select("block_key")
+    )
+    lk = left_keys.join(F.broadcast(dropped), "block_key", "left_anti")
+    rk = right_keys.join(F.broadcast(dropped), "block_key", "left_anti")
 
     rk = rk.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
@@ -208,15 +253,14 @@ def scored_candidate_pairs(
     map-side expression evaluation and the shuffled dedup sees ~2% of
     the pairs. Same result set as candidate_pairs + join + lev filter.
     """
-    keys = blocking_keys(df, id_col, key_col, payload=True, **key_kwargs).withColumn(
-        "_len", F.length("_k")
-    )
+    keys = _hash_block_keys(
+        blocking_keys(df, id_col, key_col, payload=True, **key_kwargs)
+    ).withColumn("_len", F.length("_k"))
     persisted_handle = None
     if persist_keys:
         keys = keys.persist()
         persisted_handle = keys
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
-    keys = keys.join(sizes.where(F.col("_bs") <= max_block_size), "block_key")
+    small, hot = _size_split(keys, max_block_size, salt_threshold)
 
     def join_score(lhs, rhs, extra_key):
         cond = (
@@ -236,17 +280,16 @@ def scored_candidate_pairs(
             .where((F.col("lev") >= 0) & (F.col("lev") <= lev_max))
         )
 
-    small = keys.where(F.col("_bs") <= salt_threshold).drop("_bs")
     out = join_score(small, small, extra_key=False)
 
-    hot = keys.where(F.col("_bs") > salt_threshold).drop("_bs")
-    hot_r = hot.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
-    )
-    hot_l = hot.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
-    )
-    out = out.unionByName(join_score(hot_l, hot_r, extra_key=True))
+    if hot is not None:
+        hot_r = hot.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
+        )
+        hot_l = hot.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        out = out.unionByName(join_score(hot_l, hot_r, extra_key=True))
     out = out.dropDuplicates(["id1", "id2"])
     return _attach_persisted(out, persisted_handle) if persisted_handle is not None else out
 
@@ -283,7 +326,7 @@ def candidate_pairs(
     much larger ``max_block_size``, where single blocks really can
     dominate a reducer.
     """
-    keys = blocking_keys(df, id_col, key_col, **key_kwargs)
+    keys = _hash_block_keys(blocking_keys(df, id_col, key_col, **key_kwargs))
     persisted_handle = None
     if persist_keys:
         # keys feeds 4 branches (sizing, small join both sides, salted
@@ -293,32 +336,29 @@ def candidate_pairs(
         # recompute for storage.
         keys = keys.persist()
         persisted_handle = keys
-    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
-    keys = keys.join(
-        sizes.where(F.col("_bs") <= max_block_size), "block_key"
-    )
+    small, hot = _size_split(keys, max_block_size, salt_threshold)
 
-    small = keys.where(F.col("_bs") <= salt_threshold).drop("_bs")
-    small_pairs = (
+    out = (
         small.alias("a")
         .join(small.alias("b"), "block_key")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
     )
 
-    hot = keys.where(F.col("_bs") > salt_threshold).drop("_bs")
-    hot_r = hot.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
-    )
-    hot_l = hot.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
-    )
-    hot_pairs = (
-        hot_l.alias("a")
-        .join(hot_r.alias("b"), ["block_key", "_salt"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-    )
+    if hot is not None:
+        hot_r = hot.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
+        )
+        hot_l = hot.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        hot_pairs = (
+            hot_l.alias("a")
+            .join(hot_r.alias("b"), ["block_key", "_salt"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        )
+        out = out.unionByName(hot_pairs)
 
-    out = small_pairs.unionByName(hot_pairs).distinct()
+    out = out.distinct()
     return _attach_persisted(out, persisted_handle) if persisted_handle is not None else out

@@ -93,8 +93,18 @@ def minhash_dup_pairs(
             F.explode(lsh_band_keys(F.col("_mh"), bands, rows_per_band)).alias("bk"),
         )
     )
-    sizes = keys.groupBy("bk").agg(F.count("*").alias("_bs"))
-    keys = keys.join(sizes.where(F.col("_bs") <= max_block_size).select("bk"), "bk")
+    # hot-bucket cap as a broadcast anti-join on the (tiny) over-cap
+    # bucket list — the key rows themselves never shuffle for the cap
+    # (same inversion as blocking._size_split; the obvious inner join
+    # against the millions-of-good-buckets list costs a second full
+    # shuffle + sort of the key set)
+    dropped = (
+        keys.groupBy("bk")
+        .agg(F.count("*").alias("_bs"))
+        .where(F.col("_bs") > max_block_size)
+        .select("bk")
+    )
+    keys = keys.join(F.broadcast(dropped), "bk", "left_anti")
 
     cand = (
         keys.alias("a")

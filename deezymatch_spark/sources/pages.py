@@ -19,6 +19,7 @@ Generation runs distributed via ``mapInPandas`` over ``spark.range``
 
 from __future__ import annotations
 
+import functools
 import unicodedata
 from collections.abc import Iterator
 
@@ -61,6 +62,7 @@ _LANGS = ["en", "en", "en", "en", "de", "es", "fr", "zh"]
 _EPOCH = 1609459200
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def _base_name(cluster_id: int) -> str:
     # hash-derived syllables so distinct clusters get distinct-looking
     # names (sequential division would give every small cluster the

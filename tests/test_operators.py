@@ -18,9 +18,19 @@ from deezymatch_spark.operators import (
 
 
 def _cc(spark, edges):
+    """Run BOTH execution paths — driver union-find (small-graph escape
+    hatch) and the distributed large-star/small-star rounds
+    (driver_threshold=0) — and assert they agree before returning."""
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df)
-    return {r.node: r.component for r in out.collect()}
+    via_driver = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    via_rounds = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert via_driver == via_rounds
+    return via_driver
 
 
 def test_cc_chain(spark):

@@ -91,7 +91,12 @@ def main() -> None:
     ap.add_argument("n_pages", nargs="?", type=int, default=1_000_000)
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=2)
+    # bench.py itself runs best-of-3 data-cold reps per invocation
+    # (clearCache between reps, see PLANS.md #16), so one subprocess per
+    # core count is already noise-robust
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--session", default="latest",
+                    help="label for this row in scaling_runs.jsonl")
     args = ap.parse_args()
 
     ceiling = cpu_ceiling(args.low, args.high)
@@ -125,7 +130,7 @@ def main() -> None:
     # vary up to ~3x with host co-tenancy)
     log_path = os.path.join(REPO, "tools", "scaling_runs.jsonl")
     entry = {
-        "session": "latest",
+        "session": args.session,
         "n_pages": args.n_pages,
         "cores_low": args.low, "cores_high": args.high,
         "sec_low": t_lo, "sec_high": t_hi,
@@ -163,7 +168,18 @@ def main() -> None:
         "/ docs/s | absolute eff | same-session ceiling eff | "
         "job / ceiling |\n|---|---|---|---|---|---|---|\n"
         + "\n".join(fmt(r) for r in runs)
-        + "\n\n**Ratio vs absolute (read this before the efficiency "
+        + "\n\n**Methodology break at r2-d.** Rows before `r2-d` were "
+        "measured with best-of-3 reps that did NOT clear the Spark "
+        "cache between reps; the pipeline persists its docs/keys "
+        "frames and Spark's CacheManager substitutes cached plans into "
+        "later identical queries, so those minima reflect 1 cold + 2 "
+        "partially-cached runs (measured 62s cold vs 19s cache-warm at "
+        "4M pages / 8 cores). From `r2-d` on, every rep is data-cold "
+        "(`spark.catalog.clearCache()` before each, PLANS.md #16) — "
+        "compare absolute docs/sec only within a methodology era; the "
+        "efficiency ratios are less affected (both core counts shared "
+        "the same flaw).\n\n"
+        "**Ratio vs absolute (read this before the efficiency "
         "column).** Rows measure different pipeline configurations; a "
         "config that removes work (e.g. r2-c: MinHash bands off for "
         "title ER, PLANS.md #12) can show HIGHER absolute docs/sec at "
