@@ -66,34 +66,83 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _driver_union_find(e: DataFrame) -> DataFrame:
-    """Small-graph escape hatch: collect the canonical edge list and run
-    path-compressed union-find on the driver, parallelize the result
-    back. O(E α(E)) single-threaded — sub-second up to millions of
-    edges, versus ~10s of pure stage-scheduling latency for the
-    distributed rounds on the same input."""
+    """Small-graph escape hatch: collect the canonical edge list and
+    resolve components on the driver, parallelize the result back.
+
+    Numeric ids take a vectorized numpy hash-to-min iteration (dense
+    relabel via np.unique, then alternate edge-min scatter with pointer
+    doubling until no edge crosses components — O(E log n) with ~10
+    numpy passes, ~0.3s at 1.2M edges where a per-edge Python
+    union-find loop costs ~4s of driver time, which is pure Amdahl
+    overhead in a scaling measurement). Non-numeric ids fall back to
+    classic path-compressed union-find."""
+    import numpy as np
     import pandas as pd
 
     pdf = e.toPandas()
-    parent: dict = {}
+    src, dst = pdf["src"].values, pdf["dst"].values
+    if len(pdf) and np.issubdtype(np.asarray(src).dtype, np.number):
+        # dense relabel via hash-based factorize (first-seen order) —
+        # ~6x faster than sorted np.unique at millions of ids; the
+        # iteration below only needs SOME total order on labels, and a
+        # final min-value-per-root pass restores the "component = min
+        # node id" contract afterwards
+        codes, uniq = pd.factorize(np.concatenate([src, dst]))
+        s, d = codes[: len(pdf)], codes[len(pdf):]
+        parent = np.arange(len(uniq))
+        while True:
+            rs, rd = parent[s], parent[d]
+            cross = rs != rd
+            if not cross.any():
+                break
+            hi = np.maximum(rs[cross], rd[cross])
+            lo = np.minimum(rs[cross], rd[cross])
+            # scatter-min(parent, hi, lo) without np.minimum.at (ufunc
+            # .at is ~10x slower than a sort at this size): lexsort by
+            # (hi, lo), keep the first row per hi = min lo per hi
+            order = np.lexsort((lo, hi))
+            hi_s, lo_s = hi[order], lo[order]
+            first = np.ones(len(hi_s), dtype=bool)
+            first[1:] = hi_s[1:] != hi_s[:-1]
+            tgt = hi_s[first]
+            parent[tgt] = np.minimum(parent[tgt], lo_s[first])
+            # pointer doubling until fully compressed
+            nxt = parent[parent]
+            while (nxt != parent).any():
+                parent = nxt
+                nxt = parent[parent]
+            parent = nxt
+        # labels are arbitrary-order roots; component id must be the
+        # MIN node value in each component: sort (root, value), take
+        # the first value per root group, map back through parent
+        order = np.lexsort((uniq, parent))
+        root_s, val_s = parent[order], uniq[order]
+        first = np.ones(len(root_s), dtype=bool)
+        first[1:] = root_s[1:] != root_s[:-1]
+        comp_min = np.empty(len(uniq), dtype=uniq.dtype)
+        comp_min[root_s[first]] = val_s[first]
+        out = pd.DataFrame({"node": uniq, "component": comp_min[parent]})
+    else:
+        parent_map: dict = {}
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+        def find(x):
+            r = x
+            while parent_map.get(r, r) != r:
+                r = parent_map[r]
+            while parent_map.get(x, x) != x:
+                parent_map[x], x = r, parent_map[x]
+            return r
 
-    for s, d in zip(pdf["src"].values, pdf["dst"].values):
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            # union by min so component = min reachable node id
-            lo, hi = (rs, rd) if rs < rd else (rd, rs)
-            parent[hi] = lo
-    nodes = set(pdf["src"].values)
-    nodes.update(pdf["dst"].values)
-    out = pd.DataFrame({"node": list(nodes)})
-    out["component"] = [find(n) for n in out["node"]]
+        for a, b in zip(src, dst):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so component = min reachable node id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent_map[hi] = lo
+        nodes = set(src)
+        nodes.update(dst)
+        out = pd.DataFrame({"node": list(nodes)})
+        out["component"] = [find(n) for n in out["node"]]
     # explicit schema (node/component share src's type): handles the
     # empty-edge frame, where pandas can't infer types
     from pyspark.sql.types import StructField, StructType

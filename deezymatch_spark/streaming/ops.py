@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.udfs import jaro_winkler_udf, normalize_udf
-from ..operators.blocking import blocking_keys
+from ..operators.blocking import _hash_block_keys, blocking_keys
 from ..sources.pages import extract_title
 
 __all__ = [
@@ -88,17 +88,32 @@ def streaming_entity_matches(
 
     → StreamingQuery (caller awaits/stops it)."""
     # same key-family default as the batch pipeline: m: bands off for
-    # short-title matching (see er_stages docstring for the measurement)
-    cand_keys = blocking_keys(
-        candidates, "id", "title_norm", use_minhash=use_minhash
+    # short-title matching (see er_stages docstring for the measurement).
+    # The hot-key cap is applied ONCE on the static candidate side (a
+    # key hot among candidates is non-discriminative; stream keys in a
+    # dropped block then simply find no match — same semantics as the
+    # batch cap), as a broadcast anti-join on the tiny over-cap list;
+    # keys are int64-hashed (never emitted) and the capped static side
+    # is persisted so micro-batches don't rebuild it.
+    cand_keys = _hash_block_keys(
+        blocking_keys(candidates, "id", "title_norm", use_minhash=use_minhash)
     ).withColumnRenamed("id", "cand_id")
+    dropped = (
+        cand_keys.groupBy("block_key")
+        .agg(F.count("*").alias("_bs"))
+        .where(F.col("_bs") > max_block_size)
+        .select("block_key")
+    )
+    cand_keys = cand_keys.join(F.broadcast(dropped), "block_key", "left_anti").persist()
     cand_titles = candidates.select(
         F.col("id").alias("cand_id"), F.col("title_norm").alias("cand_title")
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df
-        keys = blocking_keys(docs, "id", "title_norm", use_minhash=use_minhash)
+        keys = _hash_block_keys(
+            blocking_keys(docs, "id", "title_norm", use_minhash=use_minhash)
+        )
         pairs = (
             keys.join(cand_keys, "block_key")
             .select("id", "cand_id")

@@ -60,6 +60,33 @@ def test_cc_long_path_converges(spark):
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
+def test_cc_random_graph_numpy_vs_python_fallback(spark):
+    """The driver escape hatch has two codepaths — vectorized numpy
+    (numeric ids) and per-edge union-find (non-numeric ids). Feed the
+    same random graph as longs and as zero-padded strings (same order)
+    and assert identical component structure."""
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 500, 1500), rng.integers(0, 500, 1500))
+        if a != b
+    ]
+    num = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    sedges = [(f"{a:06d}", f"{b:06d}") for a, b in edges]
+    txt = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(sedges, "src string, dst string")
+        ).collect()
+    }
+    assert {f"{k:06d}": f"{v:06d}" for k, v in num.items()} == txt
+
+
 def _pandas_reference_split(labels, train_prop, val_prop, test_prop, n_train_examples=None):
     """Direct port of the reference's inclusive .loc arithmetic
     (data_processing.py:84-113) for property testing."""

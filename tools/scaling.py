@@ -36,8 +36,14 @@ def run_once(cores: int, n_pages: int) -> dict:
          "--pages", str(n_pages), "--sf-dir", "/root/testdata/sf0.1"],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py --cores {cores} --pages {n_pages} produced no JSON "
+            f"(rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
 
 
 def run_best(cores: int, n_pages: int, reps: int) -> dict:
@@ -97,13 +103,20 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--session", default="latest",
                     help="label for this row in scaling_runs.jsonl")
+    ap.add_argument("--record", nargs=2, type=float, metavar=("SEC_LOW", "SEC_HIGH"),
+                    help="log externally-measured pipeline wall times "
+                    "(same bench.py invocation shape) instead of re-running "
+                    "them; the same-session ceiling microbenchmark still runs")
     args = ap.parse_args()
 
     ceiling = cpu_ceiling(args.low, args.high)
-    lo = run_best(args.low, args.n_pages, args.reps)
-    hi = run_best(args.high, args.n_pages, args.reps)
-    t_lo = lo["queries"]["pipeline_entity_clusters"]
-    t_hi = hi["queries"]["pipeline_entity_clusters"]
+    if args.record:
+        t_lo, t_hi = args.record
+    else:
+        lo = run_best(args.low, args.n_pages, args.reps)
+        hi = run_best(args.high, args.n_pages, args.reps)
+        t_lo = lo["queries"]["pipeline_entity_clusters"]
+        t_hi = hi["queries"]["pipeline_entity_clusters"]
     ratio = args.high / args.low
     eff = (t_lo / t_hi) / ratio
     result = {
@@ -168,7 +181,14 @@ def main() -> None:
         "/ docs/s | absolute eff | same-session ceiling eff | "
         "job / ceiling |\n|---|---|---|---|---|---|---|\n"
         + "\n".join(fmt(r) for r in runs)
-        + "\n\n**Methodology break at r2-d.** Rows before `r2-d` were "
+        + "\n\n**Row provenance.** Rows may be logged via `--record` "
+        "from bench.py invocations run minutes apart rather than one "
+        "subprocess pair (the r2-e 16M row: the per-run `hw_probe_sec` "
+        "fixed-work probes — 4.0s at 8 cores, 14.7s at 2 — imply a "
+        "0.92 substrate ratio between those two sessions, consistent "
+        "with the 0.824 ceiling measured at record time, so the pair "
+        "is comparable).\n\n"
+        "**Methodology break at r2-d.** Rows before `r2-d` were "
         "measured with best-of-3 reps that did NOT clear the Spark "
         "cache between reps; the pipeline persists its docs/keys "
         "frames and Spark's CacheManager substitutes cached plans into "
