@@ -252,10 +252,17 @@ def scored_candidate_pairs(
     map-side BEFORE the dedup shuffle — so the only full-size work is
     map-side expression evaluation and the shuffled dedup sees ~2% of
     the pairs. Same result set as candidate_pairs + join + lev filter.
+
+    ``extra_keys``: optional extra key family rows
+    ``[id, block_key(string), _k]`` unioned with the built-in families
+    before hashing/capping — e.g. the ``a:``-prefixed anchor-text keys
+    the ER pipeline adds (keep prefixes disjoint from g:/w:/m:).
     """
-    keys = _hash_block_keys(
-        blocking_keys(df, id_col, key_col, payload=True, **key_kwargs)
-    ).withColumn("_len", F.length("_k"))
+    extra_keys = key_kwargs.pop("extra_keys", None)
+    keys = blocking_keys(df, id_col, key_col, payload=True, **key_kwargs)
+    if extra_keys is not None:
+        keys = keys.unionByName(extra_keys)
+    keys = _hash_block_keys(keys).withColumn("_len", F.length("_k"))
     persisted_handle = None
     if persist_keys:
         keys = keys.persist()
@@ -326,7 +333,11 @@ def candidate_pairs(
     much larger ``max_block_size``, where single blocks really can
     dominate a reducer.
     """
-    keys = _hash_block_keys(blocking_keys(df, id_col, key_col, **key_kwargs))
+    extra_keys = key_kwargs.pop("extra_keys", None)
+    keys = blocking_keys(df, id_col, key_col, **key_kwargs)
+    if extra_keys is not None:
+        keys = keys.unionByName(extra_keys.select("id", "block_key"))
+    keys = _hash_block_keys(keys)
     persisted_handle = None
     if persist_keys:
         # keys feeds 4 branches (sizing, small join both sides, salted

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions.udfs import jaro_winkler_udf, normalize_udf
 from .operators.blocking import candidate_pairs, release_persisted, scored_candidate_pairs
 from .operators.cc import connected_components
-from .sources.pages import extract_title, generate_pages
+from .sources.pages import extract_anchor_texts, extract_title, generate_pages
 
 __all__ = ["run_er_pipeline", "er_stages", "stage_metrics"]
 
@@ -96,6 +96,7 @@ def er_stages(
     pair_scorer=None,
     conf_threshold: float = 0.5,
     use_minhash: bool = False,
+    use_anchors: bool = False,
     spark: SparkSession | None = None,
     work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
@@ -114,16 +115,34 @@ def er_stages(
     can wipe out shared prefix grams) or when the hot-key cap removes
     most gram keys; the dedup operators (operators/dedup.py) always use
     their own MinHash path regardless.
+
+    ``use_anchors``: add an ``a:<normalized anchor text>`` exact-key
+    family from the page's anchor inner texts (north_star: blocking on
+    "normalized page titles and anchor strings"). Pure recall path —
+    anchor-blocked pairs still pass the title length/Levenshtein/JW
+    gates, so precision is unchanged; it recovers pairs whose SHORT
+    titles share no gram/word key (a 1-edit on a 3-char title leaves
+    zero common keys) but that are co-cited with the same anchor
+    string. ~2 extra key rows/page; OFF by default for the synthetic
+    benchmark whose titles make gram recall 0.9998+ already.
     """
     spark = spark or pages.sparkSession
 
     # S0 — extract + normalize. html is pruned immediately after the
-    # regexp extract; downstream stages carry only (id, url, title*).
-    docs = pages.select(
+    # regexp extract; downstream stages carry only (id, url, title*
+    # [, anchors]).
+    s0_cols = [
         F.xxhash64("url").alias("id"),
         F.col("url"),
         extract_title(F.col("html")).alias("title"),
-    ).withColumn("title_norm", normalize_udf(F.col("title")))
+    ]
+    if use_anchors:
+        s0_cols.append(
+            F.array_distinct(extract_anchor_texts(F.col("html"))).alias("anchors")
+        )
+    docs = pages.select(*s0_cols).withColumn(
+        "title_norm", normalize_udf(F.col("title"))
+    )
     docs = _materialize(spark, docs, work_dir, "s0_extract")
     if work_dir is None:
         # docs is referenced by 6+ downstream branches (key building,
@@ -133,6 +152,21 @@ def er_stages(
         # work_dir mode gets this for free from the parquet checkpoint.
         docs = docs.persist()
 
+    # optional a: anchor-text key family (payload = the page's OWN
+    # normalized title, so the fused join's gates still compare titles)
+    anchor_keys = None
+    if use_anchors:
+        anchor_keys = (
+            docs.select("id", F.explode("anchors").alias("_a"), "title_norm")
+            .withColumn("_a", normalize_udf(F.col("_a")))
+            .where(F.length("_a") > 0)
+            .select(
+                "id",
+                F.concat(F.lit("a:"), F.col("_a")).alias("block_key"),
+                F.col("title_norm").alias("_k"),
+            )
+        )
+
     # S1+S2 fused — blocking (salted, hot-key capped) + length gate in
     # the join condition + codegen Levenshtein gate BEFORE the dedup
     # shuffle (see scored_candidate_pairs: the unfused variant cost 3
@@ -141,7 +175,7 @@ def er_stages(
     scored_raw = scored_candidate_pairs(
         docs, "id", "title_norm",
         lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
-        use_minhash=use_minhash,
+        use_minhash=use_minhash, extra_keys=anchor_keys,
     )
     scored = scored_raw.withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
     if pair_scorer is not None:
@@ -162,7 +196,7 @@ def er_stages(
     # not materialized — computed only if a caller runs an action on it
     pairs = candidate_pairs(
         docs, "id", "title_norm", max_block_size=max_block_size, ngram=ngram,
-        use_minhash=use_minhash, persist_keys=False,
+        use_minhash=use_minhash, persist_keys=False, extra_keys=anchor_keys,
     )
 
     # S3 — match filter

@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--lev-max", type=int, default=2)
     ap.add_argument("--max-block-size", type=int, default=100)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--use-minhash", action="store_true",
+                    help="add m: MinHash-band keys (long-text keys)")
+    ap.add_argument("--use-anchors", action="store_true",
+                    help="add a: anchor-text keys (short/corrupted titles)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,6 +56,8 @@ def main() -> None:
         jw_threshold=args.jw_threshold,
         lev_max=args.lev_max,
         max_block_size=args.max_block_size,
+        use_minhash=args.use_minhash,
+        use_anchors=args.use_anchors,
     )
     out.write.mode("overwrite").parquet(args.output)
     print(f"clusters written to {args.output}: {spark.read.parquet(args.output).count()} rows")
