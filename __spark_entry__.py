@@ -431,18 +431,8 @@ NEARDUP_LIMIT = 200
 
 
 def q_minhash_dup_pairs(spark, sf):
-    d = _t(spark, sf, "documents").where(F.col("doc_id") < NEARDUP_LIMIT)
-    mutated = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
-    )
-    both = (
-        d.select("doc_id", "text")
-        .unionByName(mutated)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
     return minhash_dup_pairs(
-        both, "doc_id", "text",
+        _neardup_corpus(spark, sf), "doc_id", "text",
         gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
     ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
@@ -483,26 +473,99 @@ def q_classification_metrics(spark, sf):
     )
 
 
+def _neardup_corpus(spark, sf):
+    """The mutated near-dup test corpus shared by the minhash family:
+    first NEARDUP_LIMIT docs + a '…suffix'-mutated copy at id+1e6."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < NEARDUP_LIMIT)
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    return (
+        d.select("doc_id", "text")
+        .unionByName(mutated)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
 def q_near_dedup_docs(spark, sf):
     """Full near-dedup (LSH pairs → CC → keep min-id representative).
     Oracle: the shared minhash-pair CTEs + a recursive-CTE transitive
     closure (min reachable id per node) in DuckDB."""
     from deezymatch_spark.operators import near_dedup
 
-    d = _t(spark, sf, "documents").where(F.col("doc_id") < NEARDUP_LIMIT)
-    mutated = d.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
-    )
-    both = (
-        d.select("doc_id", "text")
-        .unionByName(mutated)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
     return near_dedup(
-        both, "doc_id", "text",
+        _neardup_corpus(spark, sf), "doc_id", "text",
         gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
     ).select("doc_id")
+
+
+def q_bcubed_eval(spark, sf):
+    """B-cubed cluster evaluation (operators/metrics.py:bcubed): pred =
+    minhash near-dup components, truth = exact-text fingerprint groups,
+    over the mutated corpus. scaled=True → integer-exact micro outputs
+    (order-independent sums; see bcubed docstring)."""
+    from deezymatch_spark.operators import bcubed, connected_components, minhash_dup_pairs
+
+    both = _neardup_corpus(spark, sf)
+    pairs = minhash_dup_pairs(
+        both, "doc_id", "text",
+        gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
+    )
+    comps = connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    assign = (
+        both.select("doc_id", doc_fingerprint(F.col("text")).alias("truth"))
+        .join(comps, both.doc_id == comps.node, "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce("component", "doc_id").alias("pred"),
+            "truth",
+        )
+    )
+    return bcubed(assign, scaled=True)
+
+
+def q_incremental_clusters(spark, sf):
+    """Incremental cluster maintenance (operators/incremental.py):
+    cluster the ~86% 'old' corpus slice, then fold in the delta's match
+    edges via update_clusters. Oracle: the full-batch recursive-CTE
+    closure — incremental == batch exactly when no LSH bucket exceeds
+    the cap (cap lifted here; see minhash_delta_pairs docstring)."""
+    from deezymatch_spark.operators import (
+        connected_components,
+        minhash_delta_pairs,
+        minhash_dup_pairs,
+        update_clusters,
+    )
+
+    params = dict(gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3,
+                  max_block_size=1_000_000)
+    both = _neardup_corpus(spark, sf)
+    # mutated ids sit at +1e6 ≡ +1 (mod 7), so a doc and its near-dup
+    # mutation often land on opposite sides of the split — the delta
+    # edges genuinely bridge old and new clusters
+    is_delta = F.pmod(F.col("doc_id"), F.lit(7)) == 3
+    old = both.where(~is_delta)
+    delta_ids = both.where(is_delta).select("doc_id")
+
+    prev_pairs = minhash_dup_pairs(old, "doc_id", "text", **params)
+    clusters_prev = connected_components(
+        prev_pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    delta_edges = minhash_delta_pairs(
+        both, delta_ids, "doc_id", "text", **params
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    updated = update_clusters(clusters_prev, delta_edges)
+    return (
+        both.select("doc_id")
+        .join(updated, both.doc_id == updated.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
 
 
 def q_events_hourly(spark, sf):
@@ -718,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "near_dedup_docs": q_near_dedup_docs,
+        "bcubed_eval": q_bcubed_eval,
+        "incremental_clusters": q_incremental_clusters,
         "events_hourly": q_events_hourly,
         "map_metric": q_map_metric,
         "classification_metrics": q_classification_metrics,
@@ -777,7 +842,8 @@ def oracle_sql() -> dict[str, str]:
     # 5-gram shingles → 8-hash minhash → 4 LSH band keys → hot-bucket cap
     # → candidate pairs → exact-Jaccard verification (mirrors
     # operators/dedup.py:minhash_dup_pairs with the q_near_dedup params)
-    neardup_ctes = f"""
+    def _neardup_ctes(cap: int) -> str:
+        return f"""
             src as (
               select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
               union all
@@ -792,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(mh[b*2+1:b*2+2], v -> cast(v as varchar)),
                        'string_agg', ',')) as bk
                      from sig, generate_series(0,3) as t(b)),
-            good as (select bk from keys group by bk having count(*) <= 500),
+            good as (select bk from keys group by bk having count(*) <= {cap}),
             k2 as (select keys.* from keys join good using(bk)),
             cand as (select distinct a.id as id1, b.id as id2
                      from k2 a join k2 b using(bk) where a.id < b.id),
@@ -802,6 +868,20 @@ def oracle_sql() -> dict[str, str]:
                   from cand
                   join nz g1 on g1.id = cand.id1
                   join nz g2 on g2.id = cand.id2)"""
+
+    neardup_ctes = _neardup_ctes(500)
+    # recursive transitive closure over the verified pairs (shared by
+    # the clustering oracles): comp = min reachable id per node
+    closure_ctes = """
+            pairs as (select id1, id2 from j where jaccard >= 0.3),
+            edges as (select id1 as a, id2 as b from pairs
+                      union all
+                      select id2 as a, id1 as b from pairs),
+            walk(node, comp) as (
+              select distinct a as node, a as comp from edges
+              union
+              select e.b as node, w.comp from walk w join edges e on e.a = w.node),
+            comp as (select node, min(comp) as component from walk group by node)"""
 
     return {
         "normalize_basic": f"select doc_id, {_D_NORM} as text_norm from documents",
@@ -1019,18 +1099,40 @@ def oracle_sql() -> dict[str, str]:
             from j where jaccard >= 0.3""",
         "near_dedup_docs": f"""
             with recursive {neardup_ctes},
-            pairs as (select id1, id2 from j where jaccard >= 0.3),
-            edges as (select id1 as a, id2 as b from pairs
-                      union all
-                      select id2 as a, id1 as b from pairs),
-            walk(node, comp) as (
-              select distinct a as node, a as comp from edges
-              union
-              select e.b as node, w.comp from walk w join edges e on e.a = w.node),
-            comp as (select node, min(comp) as component from walk group by node)
+            {closure_ctes}
             select doc_id from src
             where doc_id not in
               (select node from comp where node != component)""",
+        "bcubed_eval": f"""
+            with recursive {neardup_ctes},
+            {closure_ctes},
+            assign as (select src.doc_id as id,
+                         coalesce(comp.component, src.doc_id) as pred,
+                         {_D_MD5.format(x="lower(trim(text))")} as truth
+                       from src left join comp on comp.node = src.doc_id),
+            cells as (select pred, truth, count(*) as n_pt from assign group by 1, 2),
+            np as (select pred, sum(n_pt) as n_p from cells group by 1),
+            nt as (select truth, sum(n_pt) as n_t from cells group by 1),
+            terms as (select (n_pt*n_pt*1000000000000) // n_p as tp_term,
+                             (n_pt*n_pt*1000000000000) // n_t as tr_term,
+                             n_pt
+                      from cells join np using (pred) join nt using (truth)),
+            agg as (select sum(tp_term) as sp, sum(tr_term) as sr,
+                           sum(n_pt) as n_items from terms),
+            m as (select sp / (greatest(n_items, 1) * 1e12) as p,
+                         sr / (greatest(n_items, 1) * 1e12) as r,
+                         n_items from agg)
+            select cast(round(p * 1e6, 0) as bigint) as precision_micro,
+                   cast(round(r * 1e6, 0) as bigint) as recall_micro,
+                   cast(round(2*p*r / greatest(p + r, 1e-12) * 1e6, 0) as bigint) as f1_micro,
+                   cast(n_items as bigint) as n_items
+            from m""",
+        "incremental_clusters": f"""
+            with recursive {_neardup_ctes(1000000)},
+            {closure_ctes}
+            select src.doc_id as doc_id,
+                   coalesce(comp.component, src.doc_id) as cluster_id
+            from src left join comp on comp.node = src.doc_id""",
         "events_hourly": """
             select date_trunc('hour', ts) as hour, event_type,
                    count(*) as n, round(sum(value), 6) as sum_value

@@ -6,12 +6,14 @@ from .dedup import (
     embedding_dup_pairs,
     exact_dedup,
     exact_dup_groups,
+    minhash_delta_pairs,
     minhash_dup_pairs,
     near_dedup,
     ngram_jaccard,
 )
+from .incremental import update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
-from .metrics import classification_metrics, mean_average_precision
+from .metrics import bcubed, classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
 from .split import train_val_test_split
 
@@ -19,9 +21,10 @@ __all__ = [
     "block_join", "blocking_keys", "candidate_pairs",
     "connected_components",
     "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
-    "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
+    "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
+    "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
-    "classification_metrics", "mean_average_precision",
+    "bcubed", "classification_metrics", "mean_average_precision",
     "candidate_ranker", "validate_ranker_args",
     "train_val_test_split",
 ]

@@ -21,6 +21,7 @@ __all__ = [
     "exact_dup_groups",
     "ngram_jaccard",
     "minhash_dup_pairs",
+    "minhash_delta_pairs",
     "near_dedup",
 ]
 
@@ -58,6 +59,66 @@ def ngram_jaccard(a, b) -> F.Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def _minhash_base_and_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int,
+    num_hashes: int,
+    bands: int,
+    max_block_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the minhash near-dup family: → (``base``
+    [id, grams], ``keys`` [id, bk] with over-cap buckets dropped).
+
+    Staged projections: base-hash array, signature, band keys each
+    evaluated exactly once (see minhash_from_base docstring). The
+    hot-bucket cap is a broadcast anti-join on the (tiny) over-cap
+    bucket list — the key rows themselves never shuffle for the cap
+    (same inversion as blocking._size_split; the obvious inner join
+    against the millions-of-good-buckets list costs a second full
+    shuffle + sort of the key set).
+    """
+    rows_per_band = num_hashes // bands
+    norm = normalize_basic(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        distinct_char_ngrams(norm, gram).alias("grams"),
+    ).where(F.size("grams") > 0)
+
+    keys = (
+        base.select("id", minhash_base(F.col("grams")).alias("_bh"))
+        .select("id", minhash_from_base(F.col("_bh"), num_hashes).alias("_mh"))
+        .select(
+            "id",
+            F.explode(lsh_band_keys(F.col("_mh"), bands, rows_per_band)).alias("bk"),
+        )
+    )
+    dropped = (
+        keys.groupBy("bk")
+        .agg(F.count("*").alias("_bs"))
+        .where(F.col("_bs") > max_block_size)
+        .select("bk")
+    )
+    return base, keys.join(F.broadcast(dropped), "bk", "left_anti")
+
+
+def _verify_jaccard(
+    cand: DataFrame, base: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Exact ngram-Jaccard verification of candidate [id1, id2] pairs.
+    Gram arrays are re-derived per side after the candidate join so the
+    wide arrays never travel through the bucket shuffle."""
+    return (
+        cand.join(base.select(F.col("id").alias("id1"), F.col("grams").alias("_g1")), "id1")
+        .join(base.select(F.col("id").alias("id2"), F.col("grams").alias("_g2")), "id2")
+        .withColumn("jaccard", ngram_jaccard("_g1", "_g2"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -72,40 +133,13 @@ def minhash_dup_pairs(
     """→ [id1, id2, jaccard] near-duplicate pairs (id1 < id2).
 
     shingle → minhash → LSH band bucket-join → exact ngram-Jaccard
-    verification. The bucket join shuffles (id, band_key) rows only;
-    gram arrays are re-derived per side after the candidate join so the
-    wide arrays never travel through the bucket shuffle.
+    verification. The bucket join shuffles (id, band_key) rows only.
     """
-    rows_per_band = num_hashes // bands
-    norm = normalize_basic(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        distinct_char_ngrams(norm, gram).alias("grams"),
-    ).where(F.size("grams") > 0)
-
-    # staged projections: base-hash array, signature, band keys each
-    # evaluated exactly once (see minhash_from_base docstring)
-    keys = (
-        base.select("id", minhash_base(F.col("grams")).alias("_bh"))
-        .select("id", minhash_from_base(F.col("_bh"), num_hashes).alias("_mh"))
-        .select(
-            "id",
-            F.explode(lsh_band_keys(F.col("_mh"), bands, rows_per_band)).alias("bk"),
-        )
+    base, keys = _minhash_base_and_keys(
+        df, id_col, text_col,
+        gram=gram, num_hashes=num_hashes, bands=bands,
+        max_block_size=max_block_size,
     )
-    # hot-bucket cap as a broadcast anti-join on the (tiny) over-cap
-    # bucket list — the key rows themselves never shuffle for the cap
-    # (same inversion as blocking._size_split; the obvious inner join
-    # against the millions-of-good-buckets list costs a second full
-    # shuffle + sort of the key set)
-    dropped = (
-        keys.groupBy("bk")
-        .agg(F.count("*").alias("_bs"))
-        .where(F.col("_bs") > max_block_size)
-        .select("bk")
-    )
-    keys = keys.join(F.broadcast(dropped), "bk", "left_anti")
-
     cand = (
         keys.alias("a")
         .join(keys.alias("b"), "bk")
@@ -113,14 +147,63 @@ def minhash_dup_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    verified = (
-        cand.join(base.select(F.col("id").alias("id1"), F.col("grams").alias("_g1")), "id1")
-        .join(base.select(F.col("id").alias("id2"), F.col("grams").alias("_g2")), "id2")
-        .withColumn("jaccard", ngram_jaccard("_g1", "_g2"))
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id1", "id2", "jaccard")
+    return _verify_jaccard(cand, base, jaccard_threshold)
+
+
+def minhash_delta_pairs(
+    df: DataFrame,
+    delta_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_block_size: int = 500,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs that touch a delta: → [id1, id2, jaccard]
+    (id1 < id2) where at least one side is in ``delta_ids`` [id].
+
+    The incremental-ingest complement of ``minhash_dup_pairs``: with
+    band keys and caps computed over the FULL corpus, this returns
+    exactly the full pair set minus the old↔old pairs — so
+    ``old_pairs ∪ delta_pairs == batch pairs`` when no bucket exceeds
+    the cap, the invariant the incremental-clustering oracle checks
+    (caps over a prefix corpus can only differ for buckets that later
+    overflow). Feed the result to ``incremental.update_clusters``.
+
+    Scale shape: the delta's key rows are a delta-sized fraction of the
+    corpus key table, so with ``broadcast_delta`` the bucket join is a
+    BroadcastHashJoin — the corpus key table never shuffles. At 10^12
+    docs the corpus ``keys``/``grams`` tables would be read from state
+    parquet rather than recomputed (they're pure per-row projections of
+    the text, so recompute-vs-store is a cost knob, not semantics).
+    """
+    base, keys = _minhash_base_and_keys(
+        df, id_col, text_col,
+        gram=gram, num_hashes=num_hashes, bands=bands,
+        max_block_size=max_block_size,
     )
-    return verified
+    dk = keys.join(
+        F.broadcast(delta_ids.select(F.col(delta_ids.columns[0]).alias("id"))),
+        "id",
+        "left_semi",
+    )
+    if broadcast_delta:
+        dk = F.broadcast(dk)
+    cand = (
+        dk.alias("a")
+        .join(keys.alias("b"), "bk")
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id1"),
+            F.greatest("a.id", "b.id").alias("id2"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, base, jaccard_threshold)
 
 
 def embedding_dup_pairs(

@@ -21,7 +21,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["average_precision_pandas", "mean_average_precision", "classification_metrics"]
+__all__ = [
+    "average_precision_pandas",
+    "mean_average_precision",
+    "classification_metrics",
+    "bcubed",
+]
 
 
 def average_precision_pandas(labels: np.ndarray, scores: np.ndarray) -> float:
@@ -94,4 +99,88 @@ def classification_metrics(
         rec.alias("recall"),
         (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))).alias("f1"),
         "tp", "fp", "fn", "tn",
+    )
+
+
+def bcubed(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+    scaled: bool = False,
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998) — the
+    standard cluster-level ER metric, complementing the pairwise F1 in
+    eval.py (which scores only blocked pairs; B-cubed scores the full
+    partition, so over-merged mega-clusters are penalized per member).
+
+    ``df``: one row per item [id, pred, truth] (cluster labels, any
+    type). → 1-row DataFrame[precision, recall, f1, n_items]:
+
+        precision = (1/N) Σ_items |C(i) ∩ L(i)| / |C(i)|
+                  = (1/N) Σ_{(p,t) cells} n_pt² / n_p
+
+    and symmetrically for recall over truth clusters. Computed entirely
+    from the (pred, truth) contingency cells: one map-combined groupBy
+    to the cells (≤ one row per cluster intersection — sub-linear in
+    items), two cell-level re-aggregations for the marginals, and two
+    joins that shuffle only cell rows. No per-item pairs are ever
+    materialized — the naive "co-clustered pair" formulation is O(Σ
+    cluster²) and dies on a 10^9-member mega-cluster; this is O(cells).
+
+    ``scaled=True`` switches to the cross-engine hash-stable form
+    [precision_micro, recall_micro, f1_micro, n_items]: each cell term
+    is computed as the exact bigint ``(n_pt² · 10¹²) div n_p`` so the
+    sum is order-independent (float sums differ in the last ulp between
+    engines and can tip a 6-dp rounding — round 1's only red oracle
+    cell). Exact-integer mode needs n_pt²·10¹² < 2⁶³, i.e. item counts
+    up to ~3M — it is the small-scale *verification* form; production
+    calls use the default double path.
+    """
+    cells = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(pred_col).alias("pred"),
+            F.col(truth_col).alias("truth"),
+        )
+        .groupBy("pred", "truth")
+        .agg(F.count("*").alias("n_pt"))
+    )
+    n_p = cells.groupBy("pred").agg(F.sum("n_pt").alias("n_p"))
+    n_t = cells.groupBy("truth").agg(F.sum("n_pt").alias("n_t"))
+    j = cells.join(n_p, "pred").join(n_t, "truth")
+    if scaled:
+        terms = j.select(
+            (F.col("n_pt") * F.col("n_pt") * F.lit(1_000_000_000_000)).alias("_sq"),
+            "n_pt", "n_p", "n_t",
+        )
+        agg = terms.agg(
+            F.sum(F.expr("_sq div n_p")).alias("_sp"),
+            F.sum(F.expr("_sq div n_t")).alias("_sr"),
+            F.sum("n_pt").alias("n_items"),
+        )
+        denom = F.greatest(F.col("n_items"), F.lit(1)).cast("double") * F.lit(1e12)
+        prec = F.col("_sp") / denom
+        rec = F.col("_sr") / denom
+        f1 = 2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))
+        return agg.select(
+            F.round(prec * 1e6, 0).cast("long").alias("precision_micro"),
+            F.round(rec * 1e6, 0).cast("long").alias("recall_micro"),
+            F.round(f1 * 1e6, 0).cast("long").alias("f1_micro"),
+            "n_items",
+        )
+    agg = j.agg(
+        F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_p")).alias("_sp"),
+        F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_t")).alias("_sr"),
+        F.sum("n_pt").alias("n_items"),
+    )
+    n = F.greatest(F.col("n_items"), F.lit(1))
+    prec = F.col("_sp") / n
+    rec = F.col("_sr") / n
+    return agg.select(
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))).alias("f1"),
+        "n_items",
     )

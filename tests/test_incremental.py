@@ -1,0 +1,170 @@
+"""Incremental cluster maintenance (operators/incremental.py) and the
+B-cubed cluster metric (operators/metrics.py:bcubed).
+
+The core contract under test: ``update_clusters(cc(E1), E2)`` equals
+``cc(E1 ∪ E2)`` for any edge split — folding a delta into an existing
+clustering is exactly batch re-clustering, at delta-neighborhood cost.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deezymatch_spark.operators import (
+    bcubed,
+    connected_components,
+    minhash_delta_pairs,
+    minhash_dup_pairs,
+    update_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(a, b) for a, b in pairs], "src long, dst long")
+
+
+def _clusters(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+def test_update_merges_and_preserves_untouched(spark):
+    # prev: {1,2,3} (comp 1), {10,11} (comp 10), {20,21} (comp 20)
+    prev = connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21)]))
+    # delta bridges comp 1 and comp 10, adds brand-new nodes 30-31
+    out = _clusters(update_clusters(prev, _edges(spark, [(3, 10), (30, 31)])))
+    assert out == {
+        (1, 1), (2, 1), (3, 1), (10, 1), (11, 1),   # merged under min id 1
+        (20, 20), (21, 20),                          # untouched, label stable
+        (30, 30), (31, 30),                          # new nodes clustered
+    }
+
+
+def test_update_equals_batch_on_any_split(spark):
+    # a chain, a clique, singleton bridges, and new-node components,
+    # split so the delta touches every shape
+    e_all = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain
+        (50, 51), (50, 52), (51, 52),            # clique
+        (5, 50),                                 # chain↔clique bridge
+        (60, 61), (70, 71), (61, 70),            # two pairs bridged
+        (80, 81),                                # isolated pair
+    ]
+    for cut in (3, 6, 8, 10):
+        e1, e2 = e_all[:cut], e_all[cut:]
+        batch = _clusters(connected_components(_edges(spark, e_all)))
+        inc = _clusters(
+            update_clusters(connected_components(_edges(spark, e1)), _edges(spark, e2))
+        )
+        assert inc == batch, f"split at {cut}"
+
+
+def test_update_distributed_cc_path(spark):
+    # driver_threshold=0 forces the large-star/small-star path inside
+    # update_clusters' refresh — same result as the driver path
+    prev = connected_components(_edges(spark, [(1, 2), (10, 11)]))
+    merged = update_clusters(
+        prev, _edges(spark, [(2, 10)]), driver_threshold=0
+    )
+    assert _clusters(merged) == {(1, 1), (2, 1), (10, 1), (11, 1)}
+
+
+@pytest.fixture(scope="module")
+def text_corpus(spark):
+    # near-dup families (shared long prefixes) + unique docs; ids chosen
+    # so the delta split (id % 3 == 0) cuts through the families
+    rows = []
+    for i in range(30):
+        fam = i % 5
+        body = f"the quick brown fox family {fam} jumps over the lazy dog again and again"
+        rows.append((i, body + (" tail variation" if i % 2 else "")))
+    for i in range(30, 40):
+        rows.append((i, f"completely unique document number {i} with its own words {i * 7919}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PARAMS = dict(gram=5, num_hashes=8, bands=4, jaccard_threshold=0.4,
+              max_block_size=1_000_000)
+
+
+def test_delta_pairs_decompose_batch(spark, text_corpus):
+    """old_pairs ∪ delta_pairs == batch pairs, disjointly (cap-free)."""
+    is_delta = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    old = text_corpus.where(~is_delta)
+    delta_ids = text_corpus.where(is_delta).select("doc_id")
+
+    batch = {(r.id1, r.id2) for r in
+             minhash_dup_pairs(text_corpus, "doc_id", "text", **PARAMS).collect()}
+    old_p = {(r.id1, r.id2) for r in
+             minhash_dup_pairs(old, "doc_id", "text", **PARAMS).collect()}
+    delta_p = {(r.id1, r.id2) for r in
+               minhash_delta_pairs(text_corpus, delta_ids, "doc_id", "text",
+                                   **PARAMS).collect()}
+    assert delta_p, "delta must produce edges for the test to mean anything"
+    assert old_p | delta_p == batch
+    assert not old_p & delta_p
+    assert all(a % 3 == 0 or b % 3 == 0 for a, b in delta_p)
+
+
+def test_incremental_near_dedup_equals_batch(spark, text_corpus):
+    """End-to-end: cluster old slice, fold in delta edges, compare the
+    full assignment to batch clustering."""
+    is_delta = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    old = text_corpus.where(~is_delta)
+    delta_ids = text_corpus.where(is_delta).select("doc_id")
+
+    def assignment(comps):
+        return {
+            (r.doc_id, r.cluster) for r in
+            text_corpus.select("doc_id")
+            .join(comps, text_corpus.doc_id == comps.node, "left")
+            .select("doc_id", F.coalesce("component", "doc_id").alias("cluster"))
+            .collect()
+        }
+
+    batch_pairs = minhash_dup_pairs(text_corpus, "doc_id", "text", **PARAMS)
+    batch = assignment(connected_components(
+        batch_pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    ))
+
+    prev = connected_components(
+        minhash_dup_pairs(old, "doc_id", "text", **PARAMS)
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    delta_edges = minhash_delta_pairs(
+        text_corpus, delta_ids, "doc_id", "text", **PARAMS
+    ).select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    inc = assignment(update_clusters(prev, delta_edges))
+    assert inc == batch
+
+
+def test_bcubed_hand_example(spark):
+    # classic example: truth {a,b,c}{d,e}; pred {a,b}{c,d,e}
+    rows = [("a", 1, "x"), ("b", 1, "x"), ("c", 2, "x"), ("d", 2, "y"), ("e", 2, "y")]
+    df = spark.createDataFrame(rows, "id string, pred int, truth string")
+    r = bcubed(df).collect()[0]
+    # precision: a,b = 1, c = 1/3, d,e = 2/3 → (1+1+1/3+2/3+2/3)/5
+    assert r.precision == pytest.approx((1 + 1 + 1 / 3 + 2 / 3 + 2 / 3) / 5)
+    # recall: a,b = 2/3, c = 1/3, d,e = 1 → (2/3+2/3+1/3+1+1)/5
+    assert r.recall == pytest.approx((2 / 3 + 2 / 3 + 1 / 3 + 1 + 1) / 5)
+    assert r.n_items == 5
+    p, q = r.precision, r.recall
+    assert r.f1 == pytest.approx(2 * p * q / (p + q))
+
+
+def test_bcubed_perfect_and_scaled(spark):
+    rows = [(i, i // 3, i // 3) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, pred long, truth long")
+    r = bcubed(df).collect()[0]
+    assert (r.precision, r.recall, r.f1) == (1.0, 1.0, 1.0)
+    s = bcubed(df, scaled=True).collect()[0]
+    assert (s.precision_micro, s.recall_micro, s.f1_micro, s.n_items) == (
+        1_000_000, 1_000_000, 1_000_000, 12,
+    )
+
+
+def test_bcubed_scaled_matches_double_path(spark):
+    rows = [("a", 1, "x"), ("b", 1, "x"), ("c", 2, "x"), ("d", 2, "y"), ("e", 2, "y")]
+    df = spark.createDataFrame(rows, "id string, pred int, truth string")
+    d = bcubed(df).collect()[0]
+    s = bcubed(df, scaled=True).collect()[0]
+    assert s.precision_micro == round(d.precision * 1e6)
+    assert s.recall_micro == round(d.recall * 1e6)
