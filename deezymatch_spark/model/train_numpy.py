@@ -368,6 +368,11 @@ def _side_backward(model: SiameseRNN, side, dv, grads):
 
 _COMBINE_4X = ("attention", "average", "max", "maximum", "hstates", "hstates_layers")
 
+# benchmark escape hatch: False forces the two-pass side encoding even
+# for padding-invariant poolings (used to A/B the stacked fast path
+# within one process — host tenancy makes cross-run timing useless)
+_STACK_SIDES = True
+
 
 def forward_backward(model: SiameseRNN, X1, l1, X2, l2, y,
                      compute_grads: bool = True):
@@ -380,10 +385,40 @@ def forward_backward(model: SiameseRNN, X1, l1, X2, l2, y,
     if p == "hstates_cosine":
         raise ValueError("hstates_cosine has no trainable CE path "
                          "(its outputs are cosine values, not logits)")
-    s1 = _encode_side(model, X1, l1)
-    s2 = _encode_side(model, X2, l2)
-    v1 = _pool_cached(model, s1)
-    v2 = _pool_cached(model, s2)
+    # For h-state pooling families the siamese sides share every weight
+    # AND the pooled vector is invariant to trailing padding (masking
+    # carries h unchanged past a row's length), so encode both sides as
+    # ONE stacked batch of 2B rows: half the sequential per-timestep
+    # loop iterations, double the rows per gemm. Gradient accumulation
+    # is linear in batch rows, so one stacked backward == the sum of two
+    # side backwards (finite-diff-checked per arch × pooling). The
+    # output-sequence poolings (attention/average/max) are NOT
+    # padding-length-invariant — their softmax/mean/argmax run over
+    # padded positions, mirroring the reference's torch behavior — so
+    # stacking to the joint t_max would change their numerics vs the
+    # inference forward; they keep the per-side passes.
+    stacked = _STACK_SIDES and p not in ("attention", "average", "max", "maximum")
+    if stacked:
+        B1 = len(np.atleast_1d(l1))
+        X1 = np.asarray(X1)
+        X2 = np.asarray(X2)
+        w = max(X1.shape[1], X2.shape[1])
+        if X1.shape[1] != w:
+            X1 = np.pad(X1, ((0, 0), (0, w - X1.shape[1])))
+        if X2.shape[1] != w:
+            X2 = np.pad(X2, ((0, 0), (0, w - X2.shape[1])))
+        s12 = _encode_side(
+            model,
+            np.concatenate([X1, X2], axis=0),
+            np.concatenate([np.atleast_1d(l1), np.atleast_1d(l2)], axis=0),
+        )
+        v12 = _pool_cached(model, s12)
+        v1, v2 = v12[:B1], v12[B1:]
+    else:
+        s1 = _encode_side(model, X1, l1)
+        s2 = _encode_side(model, X2, l2)
+        v1 = _pool_cached(model, s1)
+        v2 = _pool_cached(model, s2)
     if p in _COMBINE_4X:
         combined = np.concatenate([v1, v2, v1 * v2, v1 - v2], axis=1)
     elif p == "hstates_layers_simple":
@@ -434,8 +469,13 @@ def forward_backward(model: SiameseRNN, X1, l1, X2, l2, y,
         dv1 = -2.0 * dcomb * diff
         dv2 = 2.0 * dcomb * diff
     dt = model.w["emb"].dtype
-    _side_backward(model, s1, dv1.astype(dt), grads)
-    _side_backward(model, s2, dv2.astype(dt), grads)
+    if stacked:
+        _side_backward(
+            model, s12, np.concatenate([dv1, dv2], axis=0).astype(dt), grads
+        )
+    else:
+        _side_backward(model, s1, dv1.astype(dt), grads)
+        _side_backward(model, s2, dv2.astype(dt), grads)
     return loss, sm[:, 1], pred, grads
 
 
