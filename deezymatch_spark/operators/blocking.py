@@ -238,6 +238,7 @@ def scored_candidate_pairs(
     salt_threshold: int = 1000,
     n_salt: int = 8,
     persist_keys: bool = True,
+    delta_ids: DataFrame | None = None,
     **key_kwargs,
 ) -> DataFrame:
     """Fused blocking + edit-distance scoring self-join →
@@ -257,6 +258,14 @@ def scored_candidate_pairs(
     ``[id, block_key(string), _k]`` unioned with the built-in families
     before hashing/capping — e.g. the ``a:``-prefixed anchor-text keys
     the ER pipeline adds (keep prefixes disjoint from g:/w:/m:).
+
+    ``delta_ids`` [id]: incremental-ingest mode — return only the pairs
+    with at least one side in the delta. Keys and the hot-key cap are
+    still computed over the FULL ``df``, so with no bucket over the cap
+    ``old_pairs ∪ delta_pairs == batch pairs`` disjointly (the
+    invariant pipeline.incremental_er relies on). The delta's key rows
+    are broadcast, so the corpus key table never shuffles and no
+    salting is needed (a broadcast hash join has no reducer skew).
     """
     extra_keys = key_kwargs.pop("extra_keys", None)
     keys = blocking_keys(df, id_col, key_col, payload=True, **key_kwargs)
@@ -267,6 +276,41 @@ def scored_candidate_pairs(
     if persist_keys:
         keys = keys.persist()
         persisted_handle = keys
+
+    if delta_ids is not None:
+        good, _ = _size_split(keys, max_block_size, max_block_size)
+        dk = good.join(
+            F.broadcast(delta_ids.select(F.col(delta_ids.columns[0]).alias("id"))),
+            "id",
+            "left_semi",
+        )
+        a_lt_b = F.col("a.id") < F.col("b.id")
+        joined = (
+            F.broadcast(dk)
+            .alias("a")
+            .join(good.alias("b"), F.col("a.block_key") == F.col("b.block_key"))
+            .where(
+                (F.col("a.id") != F.col("b.id"))
+                & (F.abs(F.col("a._len") - F.col("b._len")) <= lev_max)
+            )
+        )
+        out = (
+            joined.select(
+                F.least("a.id", "b.id").alias("id1"),
+                F.greatest("a.id", "b.id").alias("id2"),
+                F.when(a_lt_b, F.col("a._k")).otherwise(F.col("b._k")).alias("t1"),
+                F.when(a_lt_b, F.col("b._k")).otherwise(F.col("a._k")).alias("t2"),
+            )
+            .withColumn("lev", F.levenshtein(F.col("t1"), F.col("t2"), lev_max + 1))
+            .where((F.col("lev") >= 0) & (F.col("lev") <= lev_max))
+            .dropDuplicates(["id1", "id2"])
+        )
+        return (
+            _attach_persisted(out, persisted_handle)
+            if persisted_handle is not None
+            else out
+        )
+
     small, hot = _size_split(keys, max_block_size, salt_threshold)
 
     def join_score(lhs, rhs, extra_key):

@@ -34,9 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions.udfs import jaro_winkler_udf, normalize_udf
 from .operators.blocking import candidate_pairs, release_persisted, scored_candidate_pairs
 from .operators.cc import connected_components
+from .operators.incremental import update_clusters
 from .sources.pages import extract_anchor_texts, extract_title, generate_pages
 
-__all__ = ["run_er_pipeline", "er_stages", "stage_metrics"]
+__all__ = ["run_er_pipeline", "er_stages", "incremental_er", "stage_metrics"]
 
 
 def stage_metrics(df: DataFrame, stage: str) -> DataFrame:
@@ -238,6 +239,117 @@ def er_stages(
         "clusters": clusters,
         "release": release,
     }
+
+
+def incremental_er(
+    spark: SparkSession,
+    pages_new: DataFrame,
+    state_dir: str,
+    *,
+    jw_threshold: float = 0.82,
+    lev_max: int = 2,
+    max_block_size: int = 100,
+    ngram: int = 3,
+    pair_scorer=None,
+    conf_threshold: float = 0.5,
+    use_minhash: bool = False,
+) -> DataFrame:
+    """Fold a crawl delta into a persistent ER state — the day-2
+    operation at 10^12 docs, where batch re-clustering per crawl is a
+    full-corpus pass. → DataFrame[url, title, entity_id] for the WHOLE
+    corpus (same schema as run_er_pipeline).
+
+    State layout under ``state_dir`` (parquet; at production scale
+    these would be Iceberg tables — same access pattern):
+    - ``docs``     — (id, url, title, title_norm), append-only;
+    - ``clusters`` — (node, component) from connected_components.
+
+    First call bootstraps via the batch pipeline. Subsequent calls:
+    S0-extract the delta, drop already-ingested ids (broadcast-inverted
+    anti-join — the corpus table streams map-side), append the rest to
+    ``docs``, block+score only pairs touching the delta
+    (``scored_candidate_pairs(delta_ids=...)``: the delta's key rows
+    broadcast against the corpus key table — no corpus shuffle), and
+    fold the resulting match edges into ``clusters`` with
+    ``update_clusters`` (only touched components recluster).
+
+    Equals batch re-clustering of the full corpus whenever no blocking
+    key exceeds ``max_block_size`` (asserted in tests); with capping,
+    the two can diverge only on pairs whose every shared key is hot.
+
+    Crash consistency: the docs append is idempotent (re-ingesting a
+    batch dedups on id), and the clusters table is replaced via
+    write-to-``clusters_next`` + rename, so a job killed mid-update
+    re-heals by re-running the same delta.
+    """
+    docs_path = os.path.join(state_dir, "docs")
+    clusters_path = os.path.join(state_dir, "clusters")
+
+    if not _is_done(spark, docs_path):
+        st = er_stages(
+            pages_new, spark=spark, jw_threshold=jw_threshold, lev_max=lev_max,
+            max_block_size=max_block_size, ngram=ngram, pair_scorer=pair_scorer,
+            conf_threshold=conf_threshold, use_minhash=use_minhash,
+        )
+        st["components"].write.mode("overwrite").parquet(clusters_path)
+        st["docs"].select("id", "url", "title", "title_norm").write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+        st["release"]()
+        return _er_assignment(
+            spark.read.parquet(docs_path), spark.read.parquet(clusters_path)
+        )
+
+    docs_prev = spark.read.parquet(docs_path)
+    new_docs = pages_new.select(
+        F.xxhash64("url").alias("id"),
+        F.col("url"),
+        extract_title(F.col("html")).alias("title"),
+    ).withColumn("title_norm", normalize_udf(F.col("title")))
+    new_ids = new_docs.select("id")
+    # already-ingested ids: semi-join the (big) corpus against the
+    # broadcast delta id list → tiny list → broadcast anti-join back.
+    # The corpus never shuffles (same inversion as the hot-key cap).
+    dup_ids = docs_prev.join(F.broadcast(new_ids), "id", "left_semi").select("id")
+    new_docs.join(F.broadcast(dup_ids), "id", "left_anti").write.mode(
+        "append"
+    ).parquet(docs_path)
+
+    docs_all = spark.read.parquet(docs_path)
+    clusters_prev = spark.read.parquet(clusters_path)
+    scored_raw = scored_candidate_pairs(
+        docs_all, "id", "title_norm",
+        lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
+        use_minhash=use_minhash, delta_ids=new_ids,
+    )
+    scored = scored_raw.withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
+    matches = scored.where(F.col("jw") >= jw_threshold)
+    if pair_scorer is not None:
+        matches = matches.withColumn(
+            "p1", pair_scorer(F.col("t1"), F.col("t2"))
+        ).where(F.col("p1") >= conf_threshold)
+    updated = update_clusters(
+        clusters_prev,
+        matches.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+    )
+
+    next_path = clusters_path + "_next"
+    updated.write.mode("overwrite").parquet(next_path)
+    release_persisted(scored_raw)
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(clusters_path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hp, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(next_path), hp)
+    return _er_assignment(docs_all, spark.read.parquet(clusters_path))
+
+
+def _er_assignment(docs: DataFrame, comps: DataFrame) -> DataFrame:
+    return docs.join(comps, docs.id == comps.node, "left").select(
+        "url",
+        "title",
+        F.coalesce(F.col("component"), F.col("id")).alias("entity_id"),
+    )
 
 
 def run_er_pipeline(

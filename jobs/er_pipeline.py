@@ -34,6 +34,10 @@ def main() -> None:
                     help="add m: MinHash-band keys (long-text keys)")
     ap.add_argument("--use-anchors", action="store_true",
                     help="add a: anchor-text keys (short/corrupted titles)")
+    ap.add_argument("--incremental-state",
+                    help="persistent ER state dir: fold the input into the "
+                         "existing clustering (bootstraps on first run) "
+                         "instead of batch re-clustering")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,20 +49,35 @@ def main() -> None:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     spark = builder.getOrCreate()
 
-    from deezymatch_spark.pipeline import run_er_pipeline
+    from deezymatch_spark.pipeline import incremental_er, run_er_pipeline
 
     pages = spark.read.parquet(args.input) if args.input else None
-    out = run_er_pipeline(
-        spark,
-        pages=pages,
-        n_pages=args.n_pages,
-        work_dir=args.work_dir,
-        jw_threshold=args.jw_threshold,
-        lev_max=args.lev_max,
-        max_block_size=args.max_block_size,
-        use_minhash=args.use_minhash,
-        use_anchors=args.use_anchors,
-    )
+    if args.incremental_state:
+        if pages is None:
+            from deezymatch_spark.sources.pages import generate_pages
+
+            pages = generate_pages(spark, args.n_pages, with_truth=False)
+        out = incremental_er(
+            spark,
+            pages,
+            args.incremental_state,
+            jw_threshold=args.jw_threshold,
+            lev_max=args.lev_max,
+            max_block_size=args.max_block_size,
+            use_minhash=args.use_minhash,
+        )
+    else:
+        out = run_er_pipeline(
+            spark,
+            pages=pages,
+            n_pages=args.n_pages,
+            work_dir=args.work_dir,
+            jw_threshold=args.jw_threshold,
+            lev_max=args.lev_max,
+            max_block_size=args.max_block_size,
+            use_minhash=args.use_minhash,
+            use_anchors=args.use_anchors,
+        )
     out.write.mode("overwrite").parquet(args.output)
     print(f"clusters written to {args.output}: {spark.read.parquet(args.output).count()} rows")
     spark.stop()

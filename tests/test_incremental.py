@@ -136,6 +136,32 @@ def test_incremental_near_dedup_equals_batch(spark, text_corpus):
     assert inc == batch
 
 
+def test_incremental_er_pipeline_matches_batch(spark, tmp_path):
+    """Bootstrap + delta ingest through pipeline.incremental_er equals
+    the batch pipeline on the union corpus (cap-free), and re-ingesting
+    the same delta is a no-op (crash/retry idempotency)."""
+    from deezymatch_spark.pipeline import er_stages, incremental_er
+    from deezymatch_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 600, with_truth=False)
+    is_delta = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+    first, second = pages.where(~is_delta), pages.where(is_delta)
+    kw = dict(max_block_size=1_000_000)
+    state = str(tmp_path / "er_state")
+
+    incremental_er(spark, first, state, **kw)
+    a2 = incremental_er(spark, second, state, **kw)
+    inc = {(r.url, r.entity_id) for r in a2.collect()}
+
+    st = er_stages(pages, spark=spark, **kw)
+    batch = {(r.url, r.entity_id) for r in st["clusters"].collect()}
+    st["release"]()
+    assert inc == batch
+
+    a3 = incremental_er(spark, second, state, **kw)
+    assert {(r.url, r.entity_id) for r in a3.collect()} == batch
+
+
 def test_bcubed_hand_example(spark):
     # classic example: truth {a,b,c}{d,e}; pred {a,b}{c,d,e}
     rows = [("a", 1, "x"), ("b", 1, "x"), ("c", 2, "x"), ("d", 2, "y"), ("e", 2, "y")]
