@@ -40,6 +40,7 @@ from deezymatch_spark.functions import (
     word_token_count,
 )
 from deezymatch_spark.functions.ngrams import WORD_SEP_REGEX
+from deezymatch_spark.functions.urls import TRACKING_PARAM_REGEX, canonical_url
 from deezymatch_spark.operators import (
     brute_force_topk,
     candidate_ranker,
@@ -48,7 +49,9 @@ from deezymatch_spark.operators import (
     ivf_topk,
     lsh_topk,
     minhash_dup_pairs,
+    sentence_dedup,
     train_val_test_split,
+    url_dup_groups,
 )
 from deezymatch_spark.sources import extract_title, generate_pages
 
@@ -412,6 +415,61 @@ def q_doc_fingerprints(spark, sf):
         "doc_id", "fingerprint",
         F.col("pos").cast("long").alias("pos"), "shingle_hash",
     )
+
+
+# Shared SQL texts evaluated VERBATIM by both engines (Spark F.expr and
+# DuckDB) so the synthesized inputs are identical by construction.
+# URL corpus: crawl-style variants — scheme case, www., default ports,
+# tracking params, param order, trailing slash, fragments — over ~40
+# canonical page groups.
+URL_EXPR_SQL = """
+case when doc_id % 3 = 0 then 'http' when doc_id % 3 = 1 then 'HTTP' else 'https' end
+|| '://'
+|| case when doc_id % 4 = 0 then 'WWW.' when doc_id % 4 = 1 then 'www.' else '' end
+|| 'Site' || cast(doc_id % 40 as string) || '.Example.COM'
+|| case when doc_id % 3 = 1 then ':80' when doc_id % 3 = 2 and doc_id % 5 = 0 then ':443'
+        when doc_id % 7 = 0 then ':8080' else '' end
+|| '/Pages/' || cast(doc_id % 40 as string)
+|| case when doc_id % 2 = 1 then '/' else '' end
+|| case when doc_id % 5 = 0 then '?b=2&utm_source=feed&a=1'
+        when doc_id % 5 = 1 then '?a=1&b=2'
+        when doc_id % 5 = 2 then '?a=1&b=2&fbclid=XYZ'
+        when doc_id % 5 = 3 then '' else '?z=9' end
+|| case when doc_id % 6 = 0 then '#frag' else '' end
+"""
+
+# boilerplate corpus: web pages share cookie banners / footers that
+# sentence_dedup must strip while keeping each page's unique body
+BOILER_EXPR_SQL = (
+    "case when doc_id % 3 = 0 then "
+    "'Cookies must be accepted to view this page. ' else '' end"
+    " || text || "
+    "case when doc_id % 4 = 0 then '. All rights reserved' else '' end"
+)
+
+
+def q_canonical_urls(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(URL_EXPR_SQL).alias("url")
+    )
+    return d.select("doc_id", "url", canonical_url(F.col("url")).alias("canon_url"))
+
+
+def q_url_dup_groups(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(URL_EXPR_SQL).alias("url")
+    )
+    g = url_dup_groups(d, "doc_id", "url")
+    return g.select(
+        "canon_url", F.col("n_dups").cast("long").alias("n_dups"), "keep_id"
+    )
+
+
+def q_sentence_dedup(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(BOILER_EXPR_SQL).alias("text")
+    )
+    return sentence_dedup(d, "doc_id", "text", min_count=2)
 
 
 # synthetic embeddings are near-random (min pairwise cosine dist ≈0.54)
@@ -788,6 +846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_metrics": q_classification_metrics,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "canonical_urls": q_canonical_urls,
+        "url_dup_groups": q_url_dup_groups,
+        "sentence_dedup": q_sentence_dedup,
         "normalize_nfkd": q_normalize_nfkd,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -882,6 +943,56 @@ def oracle_sql() -> dict[str, str]:
               union
               select e.b as node, w.comp from walk w join edges e on e.a = w.node),
             comp as (select node, min(comp) as component from walk group by node)"""
+
+    # DuckDB replica of functions/urls.py:canonical_url over the shared
+    # URL_EXPR_SQL corpus (Java regex and RE2 agree on the subset used)
+    canon_ctes = f"""
+            raw as (select doc_id, {URL_EXPR_SQL} as url from documents),
+            st1 as (select doc_id, url,
+                      regexp_replace(trim(url), '#.*$', '') as u from raw),
+            st2 as (select *,
+                      lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) as scheme,
+                      regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') as rest
+                    from st1),
+            st3 as (select *,
+                      lower(regexp_extract(rest, '^([^/?#]*)', 1)) as hostport,
+                      regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) as path0,
+                      regexp_extract(rest, '^[^?#]*\\?([^#]*)', 1) as query0
+                    from st2),
+            st4 as (select *,
+                      case when scheme = 'http'
+                             then regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                           when scheme = 'https'
+                             then regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                           else regexp_replace(hostport, '^www\\.', '') end as host,
+                      case when path0 = '' then '/'
+                           when path0 <> '/' then regexp_replace(path0, '/$', '')
+                           else path0 end as path1,
+                      array_to_string(list_sort(list_filter(string_split(query0, '&'),
+                        p -> p <> '' and not regexp_matches(p, '{TRACKING_PARAM_REGEX}'))), '&') as q1
+                    from st3),
+            canon as (select doc_id, url,
+                      case when scheme = '' then u
+                           else scheme || '://' || host || path1 ||
+                                case when q1 <> '' then '?' || q1 else '' end
+                      end as canon_url
+                    from st4)"""
+
+    # DuckDB replica of operators/dedup.py:sentence_dedup over the
+    # shared BOILER_EXPR_SQL corpus
+    sentdedup_ctes = f"""
+            src as (select doc_id, {BOILER_EXPR_SQL} as text from documents),
+            s as (select doc_id, unnest(string_split(text, '. ')) as sent,
+                    generate_subscripts(string_split(text, '. '), 1) as pos
+                  from src),
+            nz as (select * from s where sent <> ''),
+            dup as (select sent from nz group by sent having count(*) >= 2),
+            tot as (select doc_id, count(*) as n_total from nz group by doc_id),
+            keep as (select doc_id,
+                       string_agg(sent, '. ' order by pos) as clean_text,
+                       count(*) as n_kept
+                     from nz where sent not in (select sent from dup)
+                     group by doc_id)"""
 
     return {
         "normalize_basic": f"select doc_id, {_D_NORM} as text_norm from documents",
@@ -1093,6 +1204,22 @@ def oracle_sql() -> dict[str, str]:
                   from e a join e b on a.vec_id < b.vec_id)
             select id1, id2, round(cosine, 6) + 0.0 as cosine
             from p where cosine <= {EMBDUP_THRESHOLD}""",
+        "canonical_urls": f"""
+            with {canon_ctes}
+            select doc_id, url, canon_url from canon""",
+        "url_dup_groups": f"""
+            with {canon_ctes}
+            select canon_url, count(*) as n_dups, max(doc_id) as keep_id
+            from canon group by canon_url having count(*) > 1""",
+        "sentence_dedup": f"""
+            with {sentdedup_ctes}
+            select src.doc_id,
+              coalesce(keep.clean_text, '') as clean_text,
+              coalesce(keep.n_kept, 0) as n_kept,
+              coalesce(tot.n_total, 0) - coalesce(keep.n_kept, 0) as n_removed
+            from src
+            left join tot on tot.doc_id = src.doc_id
+            left join keep on keep.doc_id = src.doc_id""",
         "minhash_dup_pairs": f"""
             with {neardup_ctes}
             select id1, id2, round(jaccard, 6) as jaccard

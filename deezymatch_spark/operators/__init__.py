@@ -3,6 +3,7 @@
 from .blocking import block_join, blocking_keys, candidate_pairs
 from .cc import connected_components
 from .dedup import (
+    duplicated_sentences,
     embedding_dup_pairs,
     exact_dedup,
     exact_dup_groups,
@@ -10,6 +11,9 @@ from .dedup import (
     minhash_dup_pairs,
     near_dedup,
     ngram_jaccard,
+    sentence_dedup,
+    url_dedup,
+    url_dup_groups,
 )
 from .incremental import update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
@@ -22,6 +26,7 @@ __all__ = [
     "connected_components",
     "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
+    "duplicated_sentences", "sentence_dedup", "url_dedup", "url_dup_groups",
     "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
     "bcubed", "classification_metrics", "mean_average_precision",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.hashing import lsh_band_keys, md5_long, minhash_base, minhash_from_base
 from ..functions.ngrams import distinct_char_ngrams, normalize_basic
 from ..functions.textstats import doc_fingerprint
+from ..functions.urls import canonical_url
 from .cc import connected_components
 
 __all__ = [
@@ -23,6 +24,10 @@ __all__ = [
     "minhash_dup_pairs",
     "minhash_delta_pairs",
     "near_dedup",
+    "url_dup_groups",
+    "url_dedup",
+    "duplicated_sentences",
+    "sentence_dedup",
 ]
 
 
@@ -283,3 +288,146 @@ def near_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def url_dup_groups(
+    df: DataFrame, id_col: str, url_col: str, ts_col: str | None = None
+) -> DataFrame:
+    """URL-level dedup over a crawl table: canonicalize, then one
+    map-side-combinable aggregation per canonical URL.
+
+    → [canon_url, n_dups, keep_id] for canonical URLs seen more than
+    once. ``keep_id`` is the id of the latest snapshot (max ``ts_col``,
+    ties broken by max id) — the row a crawl dedup would retain; with
+    no ``ts_col`` it's the max id. Single shuffle on the canonical-URL
+    key; the canonicalizer itself is a codegen projection
+    (`functions/urls.py`), so at 10^12 rows this costs exactly one
+    map-combined exchange of (canon_url, partial-agg) rows.
+    """
+    canon = canonical_url(F.col(url_col)).alias("canon_url")
+    order = (
+        F.struct(F.col(ts_col), F.col(id_col))
+        if ts_col
+        else F.struct(F.col(id_col))
+    )
+    return (
+        df.select(canon, F.col(id_col).alias("_id"), order.alias("_ord"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.max_by("_id", F.col("_ord")).alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str, url_col: str, ts_col: str | None = None
+) -> DataFrame:
+    """Keep one row per canonical URL (latest ``ts_col``, ties → max
+    id; no ts → max id). Window over the canonical key — same single
+    shuffle as the group-by, but retains full rows."""
+    order = (
+        [F.col(ts_col).desc(), F.col(id_col).desc()]
+        if ts_col
+        else [F.col(id_col).desc()]
+    )
+    w = Window.partitionBy(canonical_url(F.col(url_col))).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicated_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    delim: str = ". ",
+) -> DataFrame:
+    """Corpus-wide duplicated-sentence table (the CCNet/Dolma
+    paragraph-dedup building block): split every document on
+    ``delim``, count each distinct sentence across the corpus.
+
+    → [sent, n_occurrences] for sentences appearing ≥ ``min_count``
+    times. One map-side-combinable shuffle keyed on the sentence text
+    (at 100 TB you'd key on a 128-bit hash instead and accept the
+    collision odds; the text key keeps the operator oracle-exact).
+    """
+    sent = F.explode(F.split(F.col(text_col), _re_escape(delim), -1)).alias("sent")
+    return (
+        df.select(sent)
+        .where(F.col("sent") != "")
+        .groupBy("sent")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    delim: str = ". ",
+) -> DataFrame:
+    """Remove every occurrence of corpus-duplicated sentences from
+    every document (CCNet-style boilerplate removal: nav bars, cookie
+    banners, licence footers repeat across pages and poison training
+    data).
+
+    → [<id_col>, clean_text, n_kept, n_removed]; ``clean_text`` is the
+    surviving sentences rejoined with ``delim`` in original order
+    (empty string when nothing survives — the row is kept so
+    downstream joins don't lose documents).
+
+    Plan: posexplode → LEFT ANTI join against the duplicated-sentence
+    set → re-aggregate per document. The anti-join's build side is
+    only the *duplicated* sentences (Zipf-small vs the corpus), so AQE
+    broadcasts it in the common case; the re-aggregation shuffles
+    (id, pos, sent) rows once. No UDFs anywhere.
+    """
+    dup = duplicated_sentences(df, id_col, text_col, min_count, delim).select("sent")
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re_escape(delim), -1)).alias(
+            "pos", "sent"
+        ),
+    ).where(F.col("sent") != "")
+    total = parts.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    kept = (
+        parts.join(dup, "sent", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda s: s["sent"],
+                ),
+                delim,
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(total, id_col, "left")
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce("_n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def _re_escape(s: str) -> str:
+    """Escape a literal delimiter for Java-regex ``F.split``."""
+    import re
+
+    return re.escape(s)
