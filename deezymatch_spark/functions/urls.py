@@ -20,6 +20,15 @@ Canonical form:
   * query: split on ``&``, empty and tracking params dropped
     (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``, ``ref``),
     remainder sorted lexicographically and rejoined
+
+Implementation note — the let-binding trick: composing this as one
+Python Column tree pastes the shared parse chain (trim → fragment
+strip → scheme/host/path/query extracts) into every consumer, the
+same expression-duplication trap as PLANS.md #1, and measured 1.7×
+slower end-to-end. ``_let`` binds an intermediate as a
+higher-order-function lambda argument, which Catalyst evaluates
+exactly once per row (lambda variables are never inlined); the whole
+canonicalizer stays a single shuffle-free Project.
 """
 
 from __future__ import annotations
@@ -36,6 +45,14 @@ TRACKING_PARAM_REGEX = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$"
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
 
 
+def _let(col: Column, f) -> Column:
+    """Bind ``col`` to a lambda variable so it is evaluated once per
+    row: ``transform(array(col), f)[0]``. Catalyst never substitutes a
+    lambda variable with its defining expression, so every reference
+    inside ``f`` shares the single evaluation."""
+    return F.transform(F.array(col), f)[0]
+
+
 def canonical_url(url) -> Column:
     """Canonical form of a URL column — a single codegen projection
     (regexp + array ops, no UDF, no shuffle). Rows that do not look
@@ -43,36 +60,63 @@ def canonical_url(url) -> Column:
     fragment strip, so malformed rows stay distinct instead of
     colliding on an empty key."""
     url = F.col(url) if isinstance(url, str) else url
-    u = F.trim(url)
     # fragment never reaches the server — drop it before parsing
-    u = F.regexp_replace(u, r"#.*$", "")
+    u0 = F.regexp_replace(F.trim(url), r"#.*$", "")
+    return _let(u0, _canon_of)
 
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
-    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(rest, r"^[^?#]*\?([^#]*)", 1)
 
-    host = F.regexp_replace(hostport, r"^www\.", "")
-    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(host)
-    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+def _canon_of(u: Column) -> Column:
+    parts = F.struct(
+        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)).alias("scheme"),
+        F.regexp_replace(u, _SCHEME_RE, "").alias("rest"),
+    )
 
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    path = F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
-
-    kept = F.array_sort(
-        F.filter(
-            F.split(query, "&", -1),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    def with_parts(p: Column) -> Column:
+        scheme, rest = p["scheme"], p["rest"]
+        raw = F.struct(
+            F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1)).alias("hostport"),
+            F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1).alias("path0"),
+            F.regexp_extract(rest, r"^[^?#]*\?([^#]*)", 1).alias("query0"),
         )
-    )
-    qcanon = F.array_join(kept, "&")
 
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+        def with_raw(r: Column) -> Column:
+            host0 = F.regexp_replace(r["hostport"], r"^www\.", "")
+
+            def with_host(h: Column) -> Column:
+                host = (
+                    F.when(scheme == "http", F.regexp_replace(h, r":80$", ""))
+                    .when(scheme == "https", F.regexp_replace(h, r":443$", ""))
+                    .otherwise(h)
+                )
+                path = F.when(r["path0"] == "", F.lit("/")).otherwise(r["path0"])
+                path = F.when(
+                    path != "/", F.regexp_replace(path, r"/$", "")
+                ).otherwise(path)
+                kept = F.array_sort(
+                    F.filter(
+                        F.split(r["query0"], "&", -1),
+                        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_REGEX),
+                    )
+                )
+
+                def with_q(q: Column) -> Column:
+                    return F.concat(
+                        scheme,
+                        F.lit("://"),
+                        host,
+                        path,
+                        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(
+                            F.lit("")
+                        ),
+                    )
+
+                return _let(F.array_join(kept, "&"), with_q)
+
+            return _let(host0, with_host)
+
+        return _let(raw, with_raw)
+
+    # malformed (no scheme) → trimmed/defragmented input unchanged
+    return F.when(F.regexp_extract(u, _SCHEME_RE, 1) == "", u).otherwise(
+        _let(parts, with_parts)
     )
-    return F.when(scheme == "", u).otherwise(canon)
