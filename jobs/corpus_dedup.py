@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the training-data corpus-dedup pipeline.
+
+Chains the corpus-hygiene operators a 100 TB training-data build runs
+before anything touches a tokenizer, in increasing cost order so each
+stage shrinks the next stage's input:
+
+  1. URL dedup        — canonicalize, keep the latest crawl snapshot
+                        per canonical URL (skipped without --url-col)
+  2. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
+  3. sentence dedup   — strip corpus-duplicated boilerplate sentences
+                        (cookie banners, nav bars, footers)
+  4. near dedup       — MinHash/LSH bucketing → ngram-Jaccard verify →
+                        connected components → keep cluster min-id
+
+Ship + run:
+
+    cd /root/repo && zip -qr /tmp/deezymatch_spark.zip deezymatch_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/deezymatch_spark.zip \
+        jobs/corpus_dedup.py \
+        --input s3://bucket/documents --output s3://bucket/clean \
+        --id-col doc_id --text-col text --shuffle-partitions 4096
+
+Per-stage surviving-row counts print as one JSON line (stage metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="cleaned corpus output path")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", help="enable URL dedup on this column")
+    ap.add_argument("--ts-col", help="crawl timestamp for URL snapshot keep")
+    ap.add_argument("--sentence-min-count", type=int, default=0,
+                    help="strip sentences duplicated >= N times corpus-wide "
+                         "(0 = skip the sentence stage)")
+    ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ap.add_argument("--minhash-gram", type=int, default=5)
+    ap.add_argument("--num-hashes", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--max-block-size", type=int, default=500)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--skip-near-dedup", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    builder = (
+        SparkSession.builder.appName("deezymatch-spark-corpus-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+    if args.shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
+        )
+    spark = builder.getOrCreate()
+
+    from deezymatch_spark.operators import (
+        exact_dedup,
+        near_dedup,
+        sentence_dedup,
+        url_dedup,
+    )
+
+    df = spark.read.parquet(args.input)
+    metrics: dict[str, int] = {"input_rows": df.count()}
+
+    if args.url_col:
+        df = url_dedup(df, args.id_col, args.url_col, args.ts_col)
+        metrics["after_url_dedup"] = df.count()
+
+    df = exact_dedup(df, args.id_col, args.text_col)
+    metrics["after_exact_dedup"] = df.count()
+
+    if args.sentence_min_count > 0:
+        cleaned = sentence_dedup(
+            df, args.id_col, args.text_col, min_count=args.sentence_min_count
+        )
+        # swap in the boilerplate-stripped text, drop emptied-out docs
+        df = (
+            df.drop(args.text_col)
+            .join(cleaned.where(F.col("n_kept") > 0), args.id_col)
+            .withColumnRenamed("clean_text", args.text_col)
+            .drop("n_kept", "n_removed")
+        )
+        metrics["after_sentence_dedup"] = df.count()
+
+    if not args.skip_near_dedup:
+        df = near_dedup(
+            df,
+            args.id_col,
+            args.text_col,
+            gram=args.minhash_gram,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            jaccard_threshold=args.jaccard_threshold,
+            max_block_size=args.max_block_size,
+        )
+        metrics["after_near_dedup"] = df.count()
+
+    df.write.mode("overwrite").parquet(args.output)
+    metrics["output_rows"] = spark.read.parquet(args.output).count()
+    print(json.dumps({"job": "corpus_dedup", **metrics}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

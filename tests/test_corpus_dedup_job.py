@@ -1,0 +1,121 @@
+"""Corpus-dedup job: stage chaining and end-to-end spark-submit ship.
+
+The in-session test drives jobs/corpus_dedup.py's stage logic through
+the library API on a corpus with planted URL dups, exact dups,
+boilerplate, and near-dups; the subprocess test ships the job via
+spark-submit --py-files like the ER pipeline.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from deezymatch_spark.operators import (
+    exact_dedup,
+    near_dedup,
+    sentence_dedup,
+    url_dedup,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus(spark):
+    # bodies must be pairwise-distinct at the shingle level or
+    # near-dedup (correctly) collapses them all into one cluster
+    t_a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    t_b = "completely different second page about spark shuffle partitioning tips"
+    t_c = "a third body describing minhash signatures and locality sensitive hashing"
+    t_d = "fourth entirely unrelated content covering gru encoders and beam search"
+    rows = [
+        # 1+2: same canonical URL (2 is the later crawl)
+        (1, "http://www.a.com/p?utm_source=x", "2024-01-01", t_a),
+        (2, "HTTP://a.com:80/p", "2024-02-01", t_b),
+        # 3+4: exact duplicate texts, distinct URLs
+        (3, "http://b.com/x", "2024-01-01", t_c),
+        (4, "http://b.com/y", "2024-01-01", t_c),
+        # 5: near-duplicate of 3 (small suffix edit)
+        (5, "http://b.com/z", "2024-01-01", t_c + " extra"),
+        # 6: unique
+        (6, "http://c.com/u", "2024-01-01", t_d),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, ts string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_stage_chain(spark):
+    df = _corpus(spark)
+
+    df = url_dedup(df, "doc_id", "url", "ts")
+    ids = sorted(r.doc_id for r in df.select("doc_id").collect())
+    assert ids == [2, 3, 4, 5, 6]  # 1 lost to 2 (older snapshot)
+
+    df = exact_dedup(df, "doc_id", "text")
+    ids = sorted(r.doc_id for r in df.select("doc_id").collect())
+    assert ids == [2, 3, 5, 6]  # 4 lost to 3 (min-id keep)
+
+    df = near_dedup(
+        df, "doc_id", "text",
+        gram=5, num_hashes=16, bands=8,
+        jaccard_threshold=0.8, max_block_size=500,
+    )
+    ids = sorted(r.doc_id for r in df.select("doc_id").collect())
+    assert ids == [2, 3, 6]  # 5 lost to 3 (near-dup cluster min-id)
+
+
+def test_sentence_stage_rewrites_text(spark):
+    boiler = "accept all cookies"
+    rows = [
+        (1, f"{boiler}. alpha body text"),
+        (2, f"{boiler}. beta body text"),
+        (3, f"{boiler}. {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = sentence_dedup(df, "doc_id", "text", min_count=2)
+    out = (
+        df.drop("text")
+        .join(cleaned.where(F.col("n_kept") > 0), "doc_id")
+        .withColumnRenamed("clean_text", "text")
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == {1: "alpha body text", 2: "beta body text"}  # 3 emptied out
+
+
+def test_corpus_dedup_spark_submit(spark, tmp_path):
+    inp = str(tmp_path / "docs_in")
+    _corpus(spark).write.parquet(inp)
+
+    zip_base = str(tmp_path / "deezymatch_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
+    outd = str(tmp_path / "clean_out")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_base + ".zip",
+            os.path.join(REPO, "jobs", "corpus_dedup.py"),
+            "--input", inp, "--output", outd,
+            "--url-col", "url", "--ts-col", "ts",
+            "--jaccard-threshold", "0.8",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    line = next(l for l in res.stdout.splitlines() if l.startswith('{"job"'))
+    metrics = json.loads(line)
+    assert metrics["input_rows"] == 6
+    assert metrics["after_url_dedup"] == 5
+    assert metrics["after_exact_dedup"] == 4
+    assert metrics["output_rows"] == 3
