@@ -351,17 +351,24 @@ def duplicated_sentences(
     paragraph-dedup building block): split every document on
     ``delim``, count each distinct sentence across the corpus.
 
-    → [sent, n_occurrences] for sentences appearing ≥ ``min_count``
-    times. One map-side-combinable shuffle keyed on the sentence text
-    (at 100 TB you'd key on a 128-bit hash instead and accept the
-    collision odds; the text key keeps the operator oracle-exact).
+    → [sent, n_occurrences, n_docs] for sentences appearing ≥
+    ``min_count`` times (total occurrences; ``n_docs`` distinguishes
+    cross-document boilerplate from within-document repetition). One
+    map-side-combinable shuffle keyed on the sentence text (at 100 TB
+    you'd key on a 128-bit hash instead and accept the collision
+    odds; the text key keeps the operator oracle-exact).
     """
-    sent = F.explode(F.split(F.col(text_col), _re_escape(delim), -1)).alias("sent")
     return (
-        df.select(sent)
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), _re_escape(delim), -1)).alias("sent"),
+        )
         .where(F.col("sent") != "")
         .groupBy("sent")
-        .agg(F.count("*").alias("n_occurrences"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
         .where(F.col("n_occurrences") >= min_count)
     )
 

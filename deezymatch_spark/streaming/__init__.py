@@ -2,6 +2,7 @@
 
 from .ops import (
     streaming_entity_matches,
+    streaming_exact_dedup,
     streaming_pages_normalize,
     windowed_event_counts,
 )
@@ -10,4 +11,5 @@ __all__ = [
     "streaming_pages_normalize",
     "windowed_event_counts",
     "streaming_entity_matches",
+    "streaming_exact_dedup",
 ]

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.textstats import doc_fingerprint
 from ..functions.udfs import jaro_winkler_udf, normalize_udf
 from ..operators.blocking import _hash_block_keys, blocking_keys
 from ..sources.pages import extract_title
@@ -21,7 +22,39 @@ __all__ = [
     "streaming_pages_normalize",
     "windowed_event_counts",
     "streaming_entity_matches",
+    "streaming_exact_dedup",
 ]
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on a document stream with BOUNDED state — the
+    ingest-side companion of the batch ``exact_dedup`` operator: keep
+    the first row per content fingerprint, where "duplicate" means a
+    row with the same fingerprint arriving within the watermark
+    horizon of the kept row.
+
+    ``dropDuplicatesWithinWatermark`` (vs plain ``dropDuplicates``) is
+    what makes this run forever: state for a fingerprint is evicted
+    once the watermark passes it, so state size is bounded by the
+    duplicate-arrival horizon instead of growing with the corpus. A
+    crawl re-fetching a page days later re-admits it — downstream
+    batch dedup (jobs/corpus_dedup.py) is the corpus-wide pass; this
+    operator exists to cheaply drop the torrent of same-hour
+    duplicates (mirror sites, re-crawls) before expensive stages.
+
+    → streaming DataFrame of surviving rows + ``fingerprint``.
+    """
+    s = docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    s = s.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    return s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
 
 
 def streaming_pages_normalize(pages_stream: DataFrame) -> DataFrame:

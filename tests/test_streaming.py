@@ -125,3 +125,47 @@ def test_streaming_sink_idempotent_on_batch_redelivery(spark, tmp_path):
     q2.awaitTermination(180)
     n2 = spark.read.parquet(outd).count()
     assert n2 == n1  # a blind append sink would show 2*n1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Exactly one row per content fingerprint survives a micro-batch
+    (which survivor is arbitrary — same as batch dropDuplicates);
+    distinct contents all pass through."""
+    import datetime
+
+    from deezymatch_spark.streaming import streaming_exact_dedup
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, "alpha body", ts(0)),
+        (2, "alpha body", ts(1)),    # dup within horizon -> dropped
+        (3, "alpha body", ts(2)),    # dup within horizon -> dropped
+        (4, "beta body", ts(2)),
+        (5, "gamma body", ts(3)),
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select doc_id, text from dedup_out").collect()
+    assert len(got) == 3  # one survivor per distinct content
+    assert sorted(r.text for r in got) == ["alpha body", "beta body", "gamma body"]
+    alpha_id = next(r.doc_id for r in got if r.text == "alpha body")
+    assert alpha_id in (1, 2, 3)
+    assert {r.doc_id for r in got if r.text != "alpha body"} == {4, 5}

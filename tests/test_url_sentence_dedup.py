@@ -94,7 +94,7 @@ def test_sentence_dedup_boilerplate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     dup = duplicated_sentences(df, "doc_id", "text").collect()
-    assert [(r.sent, r.n_occurrences) for r in dup] == [(boiler, 4)]
+    assert [(r.sent, r.n_occurrences, r.n_docs) for r in dup] == [(boiler, 4, 3)]
 
     out = {r.doc_id: r for r in sentence_dedup(df, "doc_id", "text").collect()}
     assert out[1].clean_text == "unique alpha text. tail one"
