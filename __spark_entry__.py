@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from deezymatch_spark.functions import (
     bpe_token_count,
+    repetition_stats,
     distinct_char_ngrams,
     doc_fingerprint,
     gram_hashes,
@@ -447,6 +448,15 @@ BOILER_EXPR_SQL = (
     "case when doc_id % 4 = 0 then '. All rights reserved' else '' end"
 )
 
+# repetition corpus: every 5th doc repeats its whole body as a second
+# sentence, every 3rd gets a shared header — exercises both the
+# within-doc duplicate-sentence fraction and the top-word share
+REP_EXPR_SQL = (
+    "case when doc_id % 3 = 0 then 'Header boilerplate sentence. ' else '' end"
+    " || text || "
+    "case when doc_id % 5 = 0 then '. ' || text else '' end"
+)
+
 
 def q_canonical_urls(spark, sf):
     d = _t(spark, sf, "documents").select(
@@ -470,6 +480,17 @@ def q_sentence_dedup(spark, sf):
         "doc_id", F.expr(BOILER_EXPR_SQL).alias("text")
     )
     return sentence_dedup(d, "doc_id", "text", min_count=2)
+
+
+def q_repetition_stats(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(REP_EXPR_SQL).alias("text")
+    )
+    return d.select(
+        "doc_id", repetition_stats(F.col("text")).alias("r")
+    ).select(
+        "doc_id", "r.n_sents", "r.dup_sent_frac_micro", "r.top_word_frac_micro"
+    )
 
 
 # synthetic embeddings are near-random (min pairwise cosine dist ≈0.54)
@@ -849,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_dup_groups": q_url_dup_groups,
         "sentence_dedup": q_sentence_dedup,
+        "repetition_stats": q_repetition_stats,
         "normalize_nfkd": q_normalize_nfkd,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1220,6 +1242,23 @@ def oracle_sql() -> dict[str, str]:
             from src
             left join tot on tot.doc_id = src.doc_id
             left join keep on keep.doc_id = src.doc_id""",
+        "repetition_stats": f"""
+            with src as (select doc_id, {REP_EXPR_SQL} as text from documents),
+            s as (select doc_id,
+                    list_filter(string_split(text, '. '), x -> x <> '') as sents,
+                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') as words
+                  from src),
+            w as (select doc_id, unnest(words) as word from s),
+            wc as (select doc_id, word, count(*) as c from w group by 1, 2),
+            t as (select doc_id, max(c) as top, sum(c) as total from wc group by 1)
+            select s.doc_id,
+              cast(len(sents) as bigint) as n_sents,
+              cast(round(case when len(sents) > 0
+                     then (1.0 - len(list_distinct(sents))::double / len(sents))
+                     else 0.0 end * 1000000, 0) as bigint) as dup_sent_frac_micro,
+              cast(round(coalesce(t.top::double / t.total::double, 0.0) * 1000000, 0) as bigint)
+                as top_word_frac_micro
+            from s left join t using (doc_id)""",
         "minhash_dup_pairs": f"""
             with {neardup_ctes}
             select id1, id2, round(jaccard, 6) as jaccard

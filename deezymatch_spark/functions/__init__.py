@@ -23,11 +23,14 @@ from .textstats import (
     lang_id,
     punct_ratio,
     quality_score,
+    repetition_stats,
     rolling_fingerprint,
     stopword_ratio,
     whitespace_token_count,
     word_token_count,
 )
+from .expr import let_
+from .urls import TRACKING_PARAM_REGEX, canonical_url
 from .udfs import jaro_winkler, jaro_winkler_udf, make_encode_udf, normalize_udf, tokenize_udf
 
 __all__ = [
@@ -37,8 +40,10 @@ __all__ = [
     "char_ngrams", "distinct_char_ngrams", "normalize_basic",
     "prefix_ngram_keys", "word_tokens",
     "bpe_token_count", "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
+    "repetition_stats",
     "rolling_fingerprint", "stopword_ratio", "whitespace_token_count",
     "word_token_count",
+    "canonical_url", "TRACKING_PARAM_REGEX", "let_",
     "jaro_winkler", "jaro_winkler_udf", "make_encode_udf", "normalize_udf",
     "tokenize_udf",
 ]

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .expr import let_
 from .hashing import md5_long
 from .ngrams import normalize_basic, word_tokens
 
@@ -23,6 +24,7 @@ __all__ = [
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
+    "repetition_stats",
     "lang_id",
     "doc_fingerprint",
     "rolling_fingerprint",
@@ -116,6 +118,76 @@ def lang_id(col: Column) -> Column:
     ]
     best = F.greatest(*scored)
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def repetition_stats(col: Column, delim: str = ". ") -> Column:
+    """Gopher-style within-document repetition signals as one struct —
+    the standard pre-training quality gates for machine-generated /
+    boilerplate-heavy pages (cf. Rae et al. 2021 §A1.1 repetition
+    filters):
+
+      n_sents              sentence count (split on ``delim``)
+      dup_sent_frac_micro  1e6 × fraction of sentences that are
+                           repeats of an earlier sentence in the SAME
+                           document (0 for empty docs)
+      top_word_frac_micro  1e6 × share of the most frequent
+                           (lowercased, whitespace) word (0 if no words)
+
+    Fractions ship as BIGINT micros so both engines hash identically
+    (same trick as classification_metrics). Pure expression — the
+    most-frequent-word count is a fold over the sorted word array
+    (longest equal run), not a per-doc explode/groupBy, so the operator
+    stays shuffle-free and pushdown-friendly as a corpus filter input.
+    """
+    import re as _re
+
+    sents = F.filter(
+        F.split(col, _re.escape(delim), -1), lambda x: x != ""
+    )
+    words = F.array_sort(
+        F.filter(F.split(F.lower(col), r"\s+", -1), lambda x: x != "")
+    )
+
+    def with_sents(s: Column) -> Column:
+        n = F.size(s)
+        dup_frac = F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(s)) / n
+        ).otherwise(F.lit(0.0))
+
+        def with_words(w: Column) -> Column:
+            zero = F.lit(0).cast("long")
+            run_of = lambda acc, x: F.when(  # noqa: E731
+                x == acc["prev"], acc["run"] + F.lit(1).cast("long")
+            ).otherwise(F.lit(1).cast("long"))
+            top = F.aggregate(
+                w,
+                F.struct(
+                    F.lit("").alias("prev"),
+                    zero.alias("run"),
+                    zero.alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    run_of(acc, x).alias("run"),
+                    F.greatest(acc["best"], run_of(acc, x)).alias("best"),
+                ),
+            )["best"]
+            top_frac = F.when(
+                F.size(w) > 0, top / F.size(w)
+            ).otherwise(F.lit(0.0))
+            return F.struct(
+                n.cast("long").alias("n_sents"),
+                F.round(dup_frac * 1e6, 0).cast("long").alias(
+                    "dup_sent_frac_micro"
+                ),
+                F.round(top_frac * 1e6, 0).cast("long").alias(
+                    "top_word_frac_micro"
+                ),
+            )
+
+        return let_(words, with_words)
+
+    return let_(sents, with_sents)
 
 
 def doc_fingerprint(col: Column) -> Column:

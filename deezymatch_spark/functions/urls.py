@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .expr import let_ as _let
+
 __all__ = ["canonical_url", "TRACKING_PARAM_REGEX"]
 
 # params that never distinguish page identity (analytics/click ids).
@@ -43,14 +45,6 @@ __all__ = ["canonical_url", "TRACKING_PARAM_REGEX"]
 TRACKING_PARAM_REGEX = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$"
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
-
-
-def _let(col: Column, f) -> Column:
-    """Bind ``col`` to a lambda variable so it is evaluated once per
-    row: ``transform(array(col), f)[0]``. Catalyst never substitutes a
-    lambda variable with its defining expression, so every reference
-    inside ``f`` shares the single evaluation."""
-    return F.transform(F.array(col), f)[0]
 
 
 def canonical_url(url) -> Column:

@@ -55,3 +55,27 @@ def test_quality_score_bounds(spark):
     got = [r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()]
     assert all(0.0 <= q <= 1.0 for q in got)
     assert got[0] > got[1]
+
+
+def test_repetition_stats(spark):
+    from deezymatch_spark.functions import repetition_stats
+
+    rows = [
+        (1, "alpha one. beta two. alpha one"),        # 1 of 3 sents repeated
+        (2, "word word word other"),                   # top word 3/4
+        (3, ""),                                       # empty doc
+        (4, "unique sentence"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.r.n_sents, r.r.dup_sent_frac_micro, r.r.top_word_frac_micro)
+        for r in df.select(
+            "doc_id", repetition_stats(F.col("text")).alias("r")
+        ).collect()
+    }
+    # whitespace words keep punctuation: [alpha, one., beta, two.,
+    # alpha, one] -> "alpha" tops at 2 of 6
+    assert got[1] == (3, 333333, 333333)
+    assert got[2] == (1, 0, 750000)
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (1, 0, 500000)

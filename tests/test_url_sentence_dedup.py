@@ -117,3 +117,29 @@ def test_sentence_dedup_preserves_order(spark):
     out = {r.doc_id: r for r in sentence_dedup(df, "doc_id", "text").collect()}
     assert out[1].clean_text == ". ".join(sents)
     assert out[2].clean_text == ""
+
+
+def test_canonical_url_idempotent(spark):
+    """A canonicalizer must be a projection onto its own image:
+    canonical(canonical(x)) == canonical(x). Property-checked over a
+    structured URL grammar covering every rule interaction."""
+    import itertools
+
+    schemes = ["http", "HTTP", "https", "ftp"]
+    hosts = ["www.Ex.COM", "ex.com:80", "www.ex.com:443", "ex.com:8080"]
+    paths = ["", "/", "/A/b/", "/x"]
+    queries = ["", "?", "?b=2&a=1", "?utm_source=x&a=1", "?ref&z=1&gclid=9"]
+    frags = ["", "#f"]
+    urls = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in itertools.product(schemes, hosts, paths, queries, frags)
+    ] + ["no scheme here", "", "   ", "weird://", "http://"]
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        canonical_url("url").alias("c1"),
+        canonical_url(canonical_url("url")).alias("c2"),
+    ).collect()
+    bad = [(r.url, r.c1, r.c2) for r in rows if r.c1 != r.c2]
+    assert not bad, bad[:5]
