@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--max-block-size", type=int, default=500)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-near-dedup", action="store_true")
+    ap.add_argument("--no-metrics", action="store_true",
+                    help="skip per-stage counts: one pass, no persists "
+                         "(only output_rows is reported)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,27 +76,45 @@ def main() -> None:
     )
 
     df = spark.read.parquet(args.input)
-    metrics: dict[str, int] = {"input_rows": df.count()}
+    metrics: dict[str, int] = {}
+
+    # per-stage counts would otherwise recompute every earlier stage
+    # (O(stages²) at corpus scale): persist each counted stage, drop
+    # the previous one once its successor is materialized
+    prev = None
+
+    def checkpoint(stage: str, d):
+        nonlocal prev
+        if args.no_metrics:
+            return d
+        d = d.persist()
+        metrics[stage] = d.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = d
+        return d
+
+    df = checkpoint("input_rows", df)
 
     if args.url_col:
-        df = url_dedup(df, args.id_col, args.url_col, args.ts_col)
-        metrics["after_url_dedup"] = df.count()
+        df = checkpoint(
+            "after_url_dedup", url_dedup(df, args.id_col, args.url_col, args.ts_col)
+        )
 
-    df = exact_dedup(df, args.id_col, args.text_col)
-    metrics["after_exact_dedup"] = df.count()
+    df = checkpoint("after_exact_dedup", exact_dedup(df, args.id_col, args.text_col))
 
     if args.sentence_min_count > 0:
         cleaned = sentence_dedup(
             df, args.id_col, args.text_col, min_count=args.sentence_min_count
         )
         # swap in the boilerplate-stripped text, drop emptied-out docs
-        df = (
+        df = checkpoint(
+            "after_sentence_dedup",
             df.drop(args.text_col)
             .join(cleaned.where(F.col("n_kept") > 0), args.id_col)
             .withColumnRenamed("clean_text", args.text_col)
-            .drop("n_kept", "n_removed")
+            .drop("n_kept", "n_removed"),
         )
-        metrics["after_sentence_dedup"] = df.count()
 
     if not args.skip_near_dedup:
         df = near_dedup(
@@ -106,7 +127,6 @@ def main() -> None:
             jaccard_threshold=args.jaccard_threshold,
             max_block_size=args.max_block_size,
         )
-        metrics["after_near_dedup"] = df.count()
 
     df.write.mode("overwrite").parquet(args.output)
     metrics["output_rows"] = spark.read.parquet(args.output).count()
