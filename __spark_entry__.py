@@ -44,6 +44,7 @@ from deezymatch_spark.functions.ngrams import WORD_SEP_REGEX
 from deezymatch_spark.functions.urls import TRACKING_PARAM_REGEX, canonical_url
 from deezymatch_spark.operators import (
     brute_force_topk,
+    simhash_dup_pairs,
     candidate_ranker,
     connected_components,
     embedding_dup_pairs,
@@ -516,6 +517,13 @@ def q_minhash_dup_pairs(spark, sf):
     ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_simhash_dup_pairs(spark, sf):
+    return simhash_dup_pairs(
+        _neardup_corpus(spark, sf), "doc_id", "text",
+        gram=4, num_bits=32, bands=4, hamming_max=3, max_block_size=500,
+    ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_map_metric(spark, sf):
     """MAP over synthetic ranking groups: group = label, score =
     embedding[0], relevant = vec_id % 3 == 0 (deterministic)."""
@@ -859,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "near_dedup_docs": q_near_dedup_docs,
         "bcubed_eval": q_bcubed_eval,
         "incremental_clusters": q_incremental_clusters,
@@ -1259,6 +1268,25 @@ def oracle_sql() -> dict[str, str]:
               cast(round(coalesce(t.top::double / t.total::double, 0.0) * 1000000, 0) as bigint)
                 as top_word_frac_micro
             from s left join t using (doc_id)""",
+        "simhash_dup_pairs": f"""
+            with src as (
+              select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
+              union all
+              select doc_id + 1000000, text || ' near duplicate suffix'
+              from documents where doc_id < {NEARDUP_LIMIT}),
+            g as (select doc_id as id,
+                    list_transform(list_distinct({_d_grams("lower(trim(text))", 4)}), gr -> {_D_MD5.format(x="gr")}) as gh
+                  from src where length(lower(trim(text))) >= 4),
+            sh as (select id, ({simhash_terms}) as sh from g),
+            keys as (select id, sh, (b * 256 + ((sh >> (b * 8)) & 255)) as bk
+                     from sh, generate_series(0, 3) as t(b)),
+            good as (select bk from keys group by bk having count(*) <= 500),
+            k2 as (select keys.* from keys join good using (bk)),
+            pairs as (select distinct a.id as id1, b.id as id2,
+                        bit_count(xor(a.sh, b.sh)) as hamming
+                      from k2 a join k2 b using (bk) where a.id < b.id)
+            select id1, id2, cast(hamming as bigint) as hamming
+            from pairs where hamming <= 3""",
         "minhash_dup_pairs": f"""
             with {neardup_ctes}
             select id1, id2, round(jaccard, 6) as jaccard

@@ -12,6 +12,7 @@ from .dedup import (
     near_dedup,
     ngram_jaccard,
     sentence_dedup,
+    simhash_dup_pairs,
     url_dedup,
     url_dup_groups,
 )
@@ -26,7 +27,8 @@ __all__ = [
     "connected_components",
     "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
-    "duplicated_sentences", "sentence_dedup", "url_dedup", "url_dup_groups",
+    "duplicated_sentences", "sentence_dedup", "simhash_dup_pairs",
+    "url_dedup", "url_dup_groups",
     "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
     "bcubed", "classification_metrics", "mean_average_precision",

@@ -182,3 +182,35 @@ def test_exact_and_near_dedup(spark):
     survivors = near_dedup(df, "doc_id", "text", gram=4, num_hashes=16,
                            bands=8, jaccard_threshold=0.5)
     assert {r.doc_id for r in survivors.collect()} == {0, 3}
+
+
+def test_simhash_dup_pairs_recall_and_validation(spark):
+    """Pigeonhole guarantee: with bands > hamming_max, every pair
+    within hamming_max bits is found — each planted mutated copy must
+    pair with its source."""
+    import pytest as _pytest
+
+    from deezymatch_spark.operators import simhash_dup_pairs
+
+    base = [
+        f"document number {i} about topic {i * 37 % 11} with body text {i}"
+        for i in range(20)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)] + [
+        (100 + i, t + " x") for i, t in enumerate(base)  # tiny suffix edit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # planted-pair hamming distances measured 0-5 -> bands=8 (>5) makes
+    # the bucket recall lossless for hamming_max=5
+    got = simhash_dup_pairs(
+        df, "doc_id", "text", gram=4, num_bits=32, bands=8, hamming_max=5
+    ).collect()
+    pairs = {(r.id1, r.id2) for r in got}
+    for i in range(20):
+        assert (i, 100 + i) in pairs
+    assert all(r.hamming <= 5 for r in got)
+
+    with _pytest.raises(ValueError):
+        simhash_dup_pairs(df, "doc_id", "text", bands=4, hamming_max=4)
+    with _pytest.raises(ValueError):
+        simhash_dup_pairs(df, "doc_id", "text", num_bits=30, bands=4)
