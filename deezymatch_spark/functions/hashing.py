@@ -141,6 +141,8 @@ def simhash(hashes: Column, num_bits: int = 32) -> Column:
     is a plan-time constant) so every shift is an exact integer op that
     the DuckDB oracle reproduces verbatim.
     """
+    if not 1 <= num_bits <= 63:
+        raise ValueError("num_bits must be in [1, 63] (bit 63 overflows BIGINT)")
     zero = F.lit(0).cast("long")
 
     def merge_for(mask):

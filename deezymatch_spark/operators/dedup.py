@@ -284,11 +284,23 @@ def near_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    *,
+    method: str = "minhash",
     **kwargs,
 ) -> DataFrame:
     """Full near-dedup: LSH pairs → transitive closure → keep the min-id
-    doc per duplicate cluster. → df minus non-representative dups."""
-    pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
+    doc per duplicate cluster. → df minus non-representative dups.
+
+    ``method``: 'minhash' (Jaccard over shingles — robust for longer
+    texts) or 'simhash' (Hamming over the bit fingerprint — cheaper,
+    one BIGINT per doc through the shuffle); kwargs pass to the
+    respective pair operator."""
+    if method == "minhash":
+        pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_dup_pairs(df, id_col, text_col, **kwargs)
+    else:
+        raise ValueError(f"unknown near-dedup method: {method!r}")
     comps = connected_components(
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     )

@@ -10,8 +10,8 @@ stage shrinks the next stage's input:
   2. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
   3. sentence dedup   — strip corpus-duplicated boilerplate sentences
                         (cookie banners, nav bars, footers)
-  4. near dedup       — MinHash/LSH bucketing → ngram-Jaccard verify →
-                        connected components → keep cluster min-id
+  4. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
+                        verify → connected components → keep cluster min-id
 
 Ship + run:
 
@@ -42,10 +42,19 @@ def main() -> None:
     ap.add_argument("--sentence-min-count", type=int, default=0,
                     help="strip sentences duplicated >= N times corpus-wide "
                          "(0 = skip the sentence stage)")
+    ap.add_argument("--near-method", choices=["minhash", "simhash"],
+                    default="minhash",
+                    help="near-dup detector: MinHash/Jaccard (longer "
+                         "texts) or SimHash/Hamming (cheaper shuffle)")
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
     ap.add_argument("--minhash-gram", type=int, default=5)
     ap.add_argument("--num-hashes", type=int, default=16)
     ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--num-bits", type=int, default=32,
+                    help="simhash fingerprint bits (max 63 — bit 63 "
+                         "would overflow the BIGINT literal)")
+    ap.add_argument("--hamming-max", type=int, default=3,
+                    help="simhash near-dup bit distance (< bands)")
     ap.add_argument("--max-block-size", type=int, default=500)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-near-dedup", action="store_true")
@@ -117,15 +126,27 @@ def main() -> None:
         )
 
     if not args.skip_near_dedup:
+        if args.near_method == "minhash":
+            kw = dict(
+                gram=args.minhash_gram,
+                num_hashes=args.num_hashes,
+                bands=args.bands,
+                jaccard_threshold=args.jaccard_threshold,
+            )
+        else:
+            kw = dict(
+                gram=args.minhash_gram,
+                num_bits=args.num_bits,
+                bands=args.bands,
+                hamming_max=args.hamming_max,
+            )
         df = near_dedup(
             df,
             args.id_col,
             args.text_col,
-            gram=args.minhash_gram,
-            num_hashes=args.num_hashes,
-            bands=args.bands,
-            jaccard_threshold=args.jaccard_threshold,
+            method=args.near_method,
             max_block_size=args.max_block_size,
+            **kw,
         )
 
     df.write.mode("overwrite").parquet(args.output)

@@ -214,3 +214,33 @@ def test_simhash_dup_pairs_recall_and_validation(spark):
         simhash_dup_pairs(df, "doc_id", "text", bands=4, hamming_max=4)
     with _pytest.raises(ValueError):
         simhash_dup_pairs(df, "doc_id", "text", num_bits=30, bands=4)
+
+
+def test_near_dedup_simhash_method(spark):
+    import pytest as _pytest
+
+    from deezymatch_spark.operators import near_dedup
+
+    # genuinely diverse bodies (measured cross-hamming 14-19 bits);
+    # " x" copies sit at hamming 0-4
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "completely different second page about spark shuffle partitioning tips",
+        "a third body describing minhash signatures and locality sensitive hashing",
+        "fourth entirely unrelated content covering gru encoders and beam search",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)] + [
+        (100 + i, t + " x") for i, t in enumerate(base)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in near_dedup(
+            df, "doc_id", "text",
+            method="simhash", gram=4, num_bits=32, bands=8, hamming_max=5,
+        ).collect()
+    )
+    assert kept == list(range(len(base)))  # min-id representative per cluster
+
+    with _pytest.raises(ValueError):
+        near_dedup(df, "doc_id", "text", method="bloom")
