@@ -44,6 +44,7 @@ from deezymatch_spark.functions.ngrams import WORD_SEP_REGEX
 from deezymatch_spark.functions.urls import TRACKING_PARAM_REGEX, canonical_url
 from deezymatch_spark.operators import (
     brute_force_topk,
+    contaminated_docs,
     simhash_dup_pairs,
     candidate_ranker,
     connected_components,
@@ -524,6 +525,14 @@ def q_simhash_dup_pairs(spark, sf):
     ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_contamination_flags(spark, sf):
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") < 20).select("text")
+    return contaminated_docs(d, bench, "doc_id", "text", n=13).select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 def q_map_metric(spark, sf):
     """MAP over synthetic ranking groups: group = label, score =
     embedding[0], relevant = vec_id % 3 == 0 (deterministic)."""
@@ -868,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "contamination_flags": q_contamination_flags,
         "near_dedup_docs": q_near_dedup_docs,
         "bcubed_eval": q_bcubed_eval,
         "incremental_clusters": q_incremental_clusters,
@@ -1287,6 +1297,15 @@ def oracle_sql() -> dict[str, str]:
                       from k2 a join k2 b using (bk) where a.id < b.id)
             select id1, id2, cast(hamming as bigint) as hamming
             from pairs where hamming <= 3""",
+        "contamination_flags": f"""
+            with d as (select doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') as w
+                from documents),
+            bg as (select distinct unnest(list_transform(generate_series(1, greatest(len(w) - 12, 0)), i -> {_D_MD5.format(x="array_to_string(w[i:i+12], ' ')")})) as g
+                   from d where doc_id < 20),
+            dg as (select doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 12, 0)), i -> {_D_MD5.format(x="array_to_string(w[i:i+12], ' ')")})) as g from d)
+            select doc_id, count(*) as n_hits
+            from dg join bg using (g) group by doc_id""",
         "minhash_dup_pairs": f"""
             with {neardup_ctes}
             select id1, id2, round(jaccard, 6) as jaccard

@@ -3,6 +3,8 @@
 from .blocking import block_join, blocking_keys, candidate_pairs
 from .cc import connected_components
 from .dedup import (
+    contaminated_docs,
+    decontaminate,
     duplicated_sentences,
     embedding_dup_pairs,
     exact_dedup,
@@ -27,6 +29,7 @@ __all__ = [
     "connected_components",
     "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
+    "contaminated_docs", "decontaminate",
     "duplicated_sentences", "sentence_dedup", "simhash_dup_pairs",
     "url_dedup", "url_dup_groups",
     "update_clusters",

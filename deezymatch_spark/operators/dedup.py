@@ -31,6 +31,8 @@ __all__ = [
     "minhash_dup_pairs",
     "minhash_delta_pairs",
     "near_dedup",
+    "contaminated_docs",
+    "decontaminate",
     "simhash_dup_pairs",
     "url_dup_groups",
     "url_dedup",
@@ -384,6 +386,84 @@ def simhash_dup_pairs(
         .dropDuplicates(["id1", "id2"])
     )
     return cand
+
+
+def _word_ngram_hashes(text_col, n: int) -> F.Column:
+    """60-bit hashes of the word-level n-grams of a text column —
+    the GPT-3/Llama decontamination unit (13 consecutive words).
+    Empty array for docs shorter than n words."""
+    from ..functions.expr import let_
+
+    words = F.filter(
+        F.split(F.lower(text_col), r"\s+", -1), lambda x: x != ""
+    )
+
+    def with_words(w: F.Column) -> F.Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: md5_long(F.array_join(F.slice(w, i, n), " ")),
+        )
+        # sequence(1, k) with k < 1 counts DOWN in Spark — gate it
+        return F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return let_(words, with_words)
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3 appendix-C /
+    Llama-style filter): flag every corpus document sharing at least
+    one ``n``-word-gram with any benchmark text.
+
+    → [<id_col>, n_hits] (overlapping gram occurrences per flagged
+    doc). The benchmark gram set is tiny next to the corpus (eval sets
+    are thousands of rows, the corpus 10^12), so it broadcasts and the
+    corpus side never shuffles for the probe — the only exchange is
+    the per-doc hit count aggregation, which is map-combinable and
+    sized by the (rare) contaminated rows.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench = (
+        benchmark.select(
+            F.explode(_word_ngram_hashes(F.col(bench_text_col), n)).alias("_g")
+        )
+        .distinct()
+    )
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_word_ngram_hashes(F.col(text_col), n)).alias("_g"),
+        )
+        .join(F.broadcast(bench), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """→ ``docs`` minus every row flagged by :func:`contaminated_docs`."""
+    flagged = contaminated_docs(
+        docs, benchmark, id_col, text_col, bench_text_col, n=n
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")
 
 
 def url_dup_groups(

@@ -244,3 +244,29 @@ def test_near_dedup_simhash_method(spark):
 
     with _pytest.raises(ValueError):
         near_dedup(df, "doc_id", "text", method="bloom")
+
+
+def test_decontamination(spark):
+    """GPT-3-style 13-gram benchmark overlap: a doc quoting >=13
+    consecutive benchmark words is flagged; shorter overlap is not."""
+    from deezymatch_spark.operators import contaminated_docs, decontaminate
+
+    bench_q = "what is the capital city of the ancient kingdom near the river delta"
+    assert len(bench_q.split()) == 13
+    rows = [
+        (1, f"intro words then {bench_q} and a conclusion"),   # full quote
+        (2, "what is the capital city of france is a shorter question"),  # partial
+        (3, "entirely unrelated page about spark adaptive query execution"),
+        (4, bench_q),                                           # exact quote
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_q,)], "text string")
+
+    flagged = {r.doc_id: r.n_hits for r in
+               contaminated_docs(docs, bench, "doc_id", "text", n=13).collect()}
+    assert set(flagged) == {1, 4}
+    assert flagged[4] == 1
+
+    kept = sorted(r.doc_id for r in
+                  decontaminate(docs, bench, "doc_id", "text", n=13).collect())
+    assert kept == [2, 3]
