@@ -10,7 +10,9 @@ stage shrinks the next stage's input:
   2. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
   3. sentence dedup   — strip corpus-duplicated boilerplate sentences
                         (cookie banners, nav bars, footers)
-  4. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
+  4. decontamination  — drop docs sharing a 13-word-gram with any
+                        benchmark text (skipped without --benchmark)
+  5. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
                         verify → connected components → keep cluster min-id
 
 Ship + run:
@@ -42,6 +44,12 @@ def main() -> None:
     ap.add_argument("--sentence-min-count", type=int, default=0,
                     help="strip sentences duplicated >= N times corpus-wide "
                          "(0 = skip the sentence stage)")
+    ap.add_argument("--benchmark",
+                    help="benchmark/eval-set parquet (text column named by "
+                         "--bench-text-col): enable the decontamination stage")
+    ap.add_argument("--bench-text-col", default="text")
+    ap.add_argument("--decontam-ngram", type=int, default=13,
+                    help="word n-gram size for benchmark overlap")
     ap.add_argument("--near-method", choices=["minhash", "simhash"],
                     default="minhash",
                     help="near-dup detector: MinHash/Jaccard (longer "
@@ -78,6 +86,7 @@ def main() -> None:
     spark = builder.getOrCreate()
 
     from deezymatch_spark.operators import (
+        decontaminate,
         exact_dedup,
         near_dedup,
         sentence_dedup,
@@ -123,6 +132,16 @@ def main() -> None:
             .join(cleaned.where(F.col("n_kept") > 0), args.id_col)
             .withColumnRenamed("clean_text", args.text_col)
             .drop("n_kept", "n_removed"),
+        )
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        df = checkpoint(
+            "after_decontamination",
+            decontaminate(
+                df, bench, args.id_col, args.text_col,
+                args.bench_text_col, n=args.decontam_ngram,
+            ),
         )
 
     if not args.skip_near_dedup:

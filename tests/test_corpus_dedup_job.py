@@ -88,7 +88,11 @@ def test_sentence_stage_rewrites_text(spark):
 
 def test_corpus_dedup_spark_submit(spark, tmp_path):
     inp = str(tmp_path / "docs_in")
-    _corpus(spark).write.parquet(inp)
+    corpus = _corpus(spark)
+    corpus.write.parquet(inp)
+    # benchmark containing doc 6's text -> decontamination drops doc 6
+    benchd = str(tmp_path / "bench_in")
+    corpus.where("doc_id = 6").select("text").write.parquet(benchd)
 
     zip_base = str(tmp_path / "deezymatch_spark")
     shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
@@ -109,6 +113,9 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             "--input", inp, "--output", outd,
             "--url-col", "url", "--ts-col", "ts",
             "--jaccard-threshold", "0.8",
+            # doc 6's body is 10 words — use 8-grams so the planted
+            # benchmark text actually flags it
+            "--benchmark", benchd, "--decontam-ngram", "8",
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
@@ -118,4 +125,5 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     assert metrics["input_rows"] == 6
     assert metrics["after_url_dedup"] == 5
     assert metrics["after_exact_dedup"] == 4
-    assert metrics["output_rows"] == 3
+    assert metrics["after_decontamination"] == 3  # doc 6 quoted the benchmark
+    assert metrics["output_rows"] == 2
