@@ -41,6 +41,13 @@ from deezymatch_spark.functions import (
     word_token_count,
 )
 from deezymatch_spark.functions.ngrams import WORD_SEP_REGEX
+from deezymatch_spark.functions.pii import (
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    mask_pii,
+    pii_stats,
+)
 from deezymatch_spark.functions.urls import TRACKING_PARAM_REGEX, canonical_url
 from deezymatch_spark.operators import (
     brute_force_topk,
@@ -450,6 +457,16 @@ BOILER_EXPR_SQL = (
     "case when doc_id % 4 = 0 then '. All rights reserved' else '' end"
 )
 
+# PII corpus: every doc gets one synthesized email / IP / phone (or
+# nothing) appended — exercises each masking pattern and the counts
+PII_EXPR_SQL = """
+text || case when doc_id % 4 = 0 then ' contact user' || cast(doc_id as string) || '@example.com'
+             when doc_id % 4 = 1 then ' server 10.2.' || cast(doc_id % 250 as string) || '.4 up'
+             when doc_id % 4 = 2 then ' call +1 415 555 ' || cast(1000 + doc_id % 9000 as string)
+             else '' end
+"""
+
+
 # repetition corpus: every 5th doc repeats its whole body as a second
 # sentence, every 3rd gets a shared header — exercises both the
 # within-doc duplicate-sentence fraction and the top-word share
@@ -523,6 +540,17 @@ def q_simhash_dup_pairs(spark, sf):
         _neardup_corpus(spark, sf), "doc_id", "text",
         gram=4, num_bits=32, bands=4, hamming_max=3, max_block_size=500,
     ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_pii_mask(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(PII_EXPR_SQL).alias("text")
+    )
+    return d.select(
+        "doc_id",
+        mask_pii(F.col("text")).alias("masked"),
+        pii_stats(F.col("text")).alias("p"),
+    ).select("doc_id", "masked", "p.n_emails", "p.n_ips", "p.n_phones")
 
 
 def q_contamination_flags(spark, sf):
@@ -878,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "contamination_flags": q_contamination_flags,
+        "pii_mask": q_pii_mask,
         "near_dedup_docs": q_near_dedup_docs,
         "bcubed_eval": q_bcubed_eval,
         "incremental_clusters": q_incremental_clusters,
@@ -1306,6 +1335,17 @@ def oracle_sql() -> dict[str, str]:
             dg as (select doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 12, 0)), i -> {_D_MD5.format(x="array_to_string(w[i:i+12], ' ')")})) as g from d)
             select doc_id, count(*) as n_hits
             from dg join bg using (g) group by doc_id""",
+        "pii_mask": f"""
+            with src as (select doc_id, {PII_EXPR_SQL} as text from documents)
+            select doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                '{PII_IPV4_RE}', '[IP]', 'g'),
+                '{PII_PHONE_RE}', '[PHONE]', 'g') as masked,
+              cast(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) as bigint) as n_emails,
+              cast(len(regexp_extract_all(text, '{PII_IPV4_RE}')) as bigint) as n_ips,
+              cast(len(regexp_extract_all(text, '{PII_PHONE_RE}')) as bigint) as n_phones
+            from src""",
         "minhash_dup_pairs": f"""
             with {neardup_ctes}
             select id1, id2, round(jaccard, 6) as jaccard

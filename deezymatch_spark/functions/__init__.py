@@ -30,6 +30,7 @@ from .textstats import (
     word_token_count,
 )
 from .expr import let_
+from .pii import mask_pii, pii_stats
 from .urls import TRACKING_PARAM_REGEX, canonical_url
 from .udfs import jaro_winkler, jaro_winkler_udf, make_encode_udf, normalize_udf, tokenize_udf
 
@@ -43,7 +44,7 @@ __all__ = [
     "repetition_stats",
     "rolling_fingerprint", "stopword_ratio", "whitespace_token_count",
     "word_token_count",
-    "canonical_url", "TRACKING_PARAM_REGEX", "let_",
+    "canonical_url", "TRACKING_PARAM_REGEX", "let_", "mask_pii", "pii_stats",
     "jaro_winkler", "jaro_winkler_udf", "make_encode_udf", "normalize_udf",
     "tokenize_udf",
 ]

@@ -79,3 +79,25 @@ def test_repetition_stats(spark):
     assert got[2] == (1, 0, 750000)
     assert got[3] == (0, 0, 0)
     assert got[4] == (1, 0, 500000)
+
+
+def test_pii_masking(spark):
+    from deezymatch_spark.functions import mask_pii, pii_stats
+
+    rows = [
+        (1, "mail john.doe+x@Example.co.uk or admin@sub.domain.org now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255."),
+        (3, "call +1 415 555 2671 or 0044-20-7946-0958 now"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.m, r.p.n_emails, r.p.n_ips, r.p.n_phones)
+        for r in df.select(
+            "doc_id", mask_pii("text").alias("m"), pii_stats("text").alias("p")
+        ).collect()
+    }
+    assert got[1] == ("mail [EMAIL] or [EMAIL] now", 2, 0, 0)
+    assert got[2] == ("server at [IP] and [IP].", 0, 2, 0)
+    assert got[3] == ("call [PHONE] or [PHONE] now", 0, 0, 2)
+    assert got[4] == ("no pii here at all", 0, 0, 0)
