@@ -174,12 +174,7 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=None)
     args = ap.parse_args()
 
-    spark = build_spark(args.cores)
-    spark.sparkContext.setLogLevel("ERROR")
     sf = sf_of(args.sf_dir)
-    n_pages = args.pages or pages_for_sf(sf)
-
-    import __spark_entry__ as E
 
     # Headline subset: the operators that dominate a real ER run.
     names = [
@@ -193,12 +188,30 @@ def main() -> None:
         "simhash",
         "events_hourly",
     ]
-    qs = E.queries()
     if args.only:
         names = [n for n in names if n in args.only] or args.only
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    # measure the pure-numpy BPTT BEFORE the Spark JVM exists: a live
+    # local[32] JVM (GC/JIT threads) depressed the same single-core
+    # training loop 958 -> 392 pair-epochs/s in a same-session A/B
+    if "encoder_training" in names:
+        n_tr, n_ep, el = bench_encoder_training()
+        timings["encoder_training"] = round(el, 3)
+        extras["train_pairs"] = n_tr
+        extras["train_epochs"] = n_ep
+        extras["train_pair_epochs_per_sec"] = round(n_tr * n_ep / el, 1)
+        names = [n for n in names if n != "encoder_training"]
+
+    spark = build_spark(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_pages = args.pages or pages_for_sf(sf)
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
 
     probe_pre = hw_probe(spark)
 
@@ -230,11 +243,6 @@ def main() -> None:
             n_pairs, el = bench_pairwise_scoring(spark, n_pages)
             extras["pairs_scored"] = n_pairs
             extras["pairs_per_sec"] = round(n_pairs / el, 1)
-        elif name == "encoder_training":
-            n_tr, n_ep, el = bench_encoder_training()
-            extras["train_pairs"] = n_tr
-            extras["train_epochs"] = n_ep
-            extras["train_pair_epochs_per_sec"] = round(n_tr * n_ep / el, 1)
         else:
             # best-of-2 for the cheap queries too (same tenancy rationale)
             fn = qs[name]
