@@ -1031,13 +1031,12 @@ def oracle_sql() -> dict[str, str]:
                     from st2),
             st4 as (select *,
                       case when scheme = 'http'
-                             then regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                             then regexp_replace(regexp_replace(hostport, '^(www\\.)+', ''), ':80$', '')
                            when scheme = 'https'
-                             then regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
-                           else regexp_replace(hostport, '^www\\.', '') end as host,
-                      case when path0 = '' then '/'
-                           when path0 <> '/' then regexp_replace(path0, '/$', '')
-                           else path0 end as path1,
+                             then regexp_replace(regexp_replace(hostport, '^(www\\.)+', ''), ':443$', '')
+                           else regexp_replace(hostport, '^(www\\.)+', '') end as host,
+                      case when regexp_replace(path0, '/+$', '') = '' then '/'
+                           else regexp_replace(path0, '/+$', '') end as path1,
                       array_to_string(list_sort(list_filter(string_split(query0, '&'),
                         p -> p <> '' and not regexp_matches(p, '{TRACKING_PARAM_REGEX}'))), '&') as q1
                     from st3),
@@ -1291,7 +1290,7 @@ def oracle_sql() -> dict[str, str]:
             left join tot on tot.doc_id = src.doc_id
             left join keep on keep.doc_id = src.doc_id""",
         "repetition_stats": f"""
-            with src as (select doc_id, {REP_EXPR_SQL} as text from documents),
+            with src as (select doc_id, coalesce({REP_EXPR_SQL}, '') as text from documents),
             s as (select doc_id,
                     list_filter(string_split(text, '. '), x -> x <> '') as sents,
                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') as words

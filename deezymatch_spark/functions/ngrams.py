@@ -13,6 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "lower_ws_words",
     "char_ngrams",
     "distinct_char_ngrams",
     "word_tokens",
@@ -42,6 +43,13 @@ def char_ngrams(col: Column, n: int) -> Column:
 def distinct_char_ngrams(col: Column, n: int) -> Column:
     """Order-preserving-distinct ngrams (blocking/minhash input)."""
     return F.array_distinct(char_ngrams(col, n))
+
+
+def lower_ws_words(col: Column) -> Column:
+    """Lowercased whitespace word tokens (empties dropped) — the
+    shared 'word' definition for decontamination grams and repetition
+    scoring; keep both consumers on this one expression."""
+    return F.filter(F.split(F.lower(col), r"\s+", -1), lambda x: x != "")
 
 
 def word_tokens(col: Column) -> Column:

@@ -141,12 +141,15 @@ def repetition_stats(col: Column, delim: str = ". ") -> Column:
     """
     import re as _re
 
+    from .ngrams import lower_ws_words
+
+    # NULL text (failed extraction) counts as empty — without this,
+    # size(NULL) = -1 would leak a negative n_sents
+    col = F.coalesce(col, F.lit(""))
     sents = F.filter(
         F.split(col, _re.escape(delim), -1), lambda x: x != ""
     )
-    words = F.array_sort(
-        F.filter(F.split(F.lower(col), r"\s+", -1), lambda x: x != "")
-    )
+    words = F.array_sort(lower_ws_words(col))
 
     def with_sents(s: Column) -> Column:
         n = F.size(s)

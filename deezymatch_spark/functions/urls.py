@@ -74,7 +74,10 @@ def _canon_of(u: Column) -> Column:
         )
 
         def with_raw(r: Column) -> Column:
-            host0 = F.regexp_replace(r["hostport"], r"^www\.", "")
+            # (www.)+ so www.www.host collapses in ONE pass — the
+            # canonicalizer must be idempotent (a projection onto its
+            # own image), locked by test_canonical_url_idempotent
+            host0 = F.regexp_replace(r["hostport"], r"^(www\.)+", "")
 
             def with_host(h: Column) -> Column:
                 host = (
@@ -82,10 +85,10 @@ def _canon_of(u: Column) -> Column:
                     .when(scheme == "https", F.regexp_replace(h, r":443$", ""))
                     .otherwise(h)
                 )
-                path = F.when(r["path0"] == "", F.lit("/")).otherwise(r["path0"])
-                path = F.when(
-                    path != "/", F.regexp_replace(path, r"/$", "")
-                ).otherwise(path)
+                # strip ALL trailing slashes (idempotence: '/p//' must
+                # equal '/p/' post-canon); all-slash or empty → root
+                stripped = F.regexp_replace(r["path0"], r"/+$", "")
+                path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
                 kept = F.array_sort(
                     F.filter(
                         F.split(r["query0"], "&", -1),

@@ -17,6 +17,7 @@ from .dedup import (
     simhash_dup_pairs,
     url_dedup,
     url_dup_groups,
+    word_ngram_hashes,
 )
 from .incremental import update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
@@ -31,7 +32,7 @@ __all__ = [
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
     "contaminated_docs", "decontaminate",
     "duplicated_sentences", "sentence_dedup", "simhash_dup_pairs",
-    "url_dedup", "url_dup_groups",
+    "url_dedup", "url_dup_groups", "word_ngram_hashes",
     "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
     "bcubed", "classification_metrics", "mean_average_precision",

@@ -33,6 +33,7 @@ __all__ = [
     "near_dedup",
     "contaminated_docs",
     "decontaminate",
+    "word_ngram_hashes",
     "simhash_dup_pairs",
     "url_dup_groups",
     "url_dedup",
@@ -388,15 +389,14 @@ def simhash_dup_pairs(
     return cand
 
 
-def _word_ngram_hashes(text_col, n: int) -> F.Column:
+def word_ngram_hashes(text_col, n: int) -> F.Column:
     """60-bit hashes of the word-level n-grams of a text column —
     the GPT-3/Llama decontamination unit (13 consecutive words).
     Empty array for docs shorter than n words."""
     from ..functions.expr import let_
+    from ..functions.ngrams import lower_ws_words
 
-    words = F.filter(
-        F.split(F.lower(text_col), r"\s+", -1), lambda x: x != ""
-    )
+    words = lower_ws_words(text_col)
 
     def with_words(w: F.Column) -> F.Column:
         grams = F.transform(
@@ -434,14 +434,14 @@ def contaminated_docs(
     bench_text_col = bench_text_col or text_col
     bench = (
         benchmark.select(
-            F.explode(_word_ngram_hashes(F.col(bench_text_col), n)).alias("_g")
+            F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias("_g")
         )
         .distinct()
     )
     hits = (
         docs.select(
             F.col(id_col),
-            F.explode(_word_ngram_hashes(F.col(text_col), n)).alias("_g"),
+            F.explode(word_ngram_hashes(F.col(text_col), n)).alias("_g"),
         )
         .join(F.broadcast(bench), "_g")
         .groupBy(id_col)
@@ -475,11 +475,13 @@ def url_dup_groups(
     → [canon_url, n_dups, keep_id] for canonical URLs seen more than
     once. ``keep_id`` is the id of the latest snapshot (max ``ts_col``,
     ties broken by max id) — the row a crawl dedup would retain; with
-    no ``ts_col`` it's the max id. Single shuffle on the canonical-URL
-    key; the canonicalizer itself is a codegen projection
-    (`functions/urls.py`), so at 10^12 rows this costs exactly one
-    map-combined exchange of (canon_url, partial-agg) rows.
+    no ``ts_col`` it's the max id. Rows with NULL/blank URLs are not
+    URL duplicates of each other and are excluded. Single shuffle on
+    the canonical-URL key; the canonicalizer itself is a codegen
+    projection (`functions/urls.py`), so at 10^12 rows this costs
+    exactly one map-combined exchange of (canon_url, partial-agg) rows.
     """
+    df = df.where(F.col(url_col).isNotNull() & (F.trim(F.col(url_col)) != ""))
     canon = canonical_url(F.col(url_col)).alias("canon_url")
     order = (
         F.struct(F.col(ts_col), F.col(id_col))
@@ -502,13 +504,22 @@ def url_dedup(
 ) -> DataFrame:
     """Keep one row per canonical URL (latest ``ts_col``, ties → max
     id; no ts → max id). Window over the canonical key — same single
-    shuffle as the group-by, but retains full rows."""
+    shuffle as the group-by, but retains full rows.
+
+    Rows with NULL/blank URLs always survive: they fall back to a
+    per-row partition key (otherwise every URL-less document would
+    collapse into ONE surviving row — silent data loss on any corpus
+    with partial URL coverage)."""
     order = (
         [F.col(ts_col).desc(), F.col(id_col).desc()]
         if ts_col
         else [F.col(id_col).desc()]
     )
-    w = Window.partitionBy(canonical_url(F.col(url_col))).orderBy(*order)
+    blank = F.col(url_col).isNull() | (F.trim(F.col(url_col)) == "")
+    key = F.when(
+        blank, F.concat(F.lit("\x00id:"), F.col(id_col).cast("string"))
+    ).otherwise(canonical_url(F.col(url_col)))
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

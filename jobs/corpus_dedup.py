@@ -71,6 +71,17 @@ def main() -> None:
                          "(only output_rows is reported)")
     args = ap.parse_args()
 
+    # fail on bad arithmetic BEFORE any cluster time is spent — these
+    # raise inside near_dedup otherwise, i.e. after every earlier
+    # stage has been computed and counted
+    if args.near_method == "simhash" and not args.skip_near_dedup:
+        if not 1 <= args.num_bits <= 63:
+            ap.error("--num-bits must be in [1, 63]")
+        if args.num_bits % args.bands != 0:
+            ap.error("--num-bits must be divisible by --bands")
+        if args.bands <= args.hamming_max:
+            ap.error("--bands must exceed --hamming-max (pigeonhole recall)")
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -135,7 +146,26 @@ def main() -> None:
         )
 
     if args.benchmark:
+        from deezymatch_spark.operators import word_ngram_hashes
+
         bench = spark.read.parquet(args.benchmark)
+        # surface silent no-ops: benchmark rows shorter than the gram
+        # size produce NO grams and protect nothing
+        n_bench_grams = bench.select(
+            F.explode(
+                word_ngram_hashes(F.col(args.bench_text_col), args.decontam_ngram)
+            )
+        ).count()
+        metrics["benchmark_grams"] = n_bench_grams
+        if n_bench_grams == 0:
+            import sys
+
+            print(
+                f"WARNING: benchmark produced 0 word-{args.decontam_ngram}-grams "
+                "(all rows shorter than the gram size?) — the decontamination "
+                "stage will not drop anything; lower --decontam-ngram",
+                file=sys.stderr,
+            )
         df = checkpoint(
             "after_decontamination",
             decontaminate(

@@ -125,5 +125,6 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     assert metrics["input_rows"] == 6
     assert metrics["after_url_dedup"] == 5
     assert metrics["after_exact_dedup"] == 4
+    assert metrics["benchmark_grams"] > 0
     assert metrics["after_decontamination"] == 3  # doc 6 quoted the benchmark
     assert metrics["output_rows"] == 2

@@ -65,6 +65,7 @@ def test_repetition_stats(spark):
         (2, "word word word other"),                   # top word 3/4
         (3, ""),                                       # empty doc
         (4, "unique sentence"),
+        (5, None),                                     # failed extraction
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -79,6 +80,7 @@ def test_repetition_stats(spark):
     assert got[2] == (1, 0, 750000)
     assert got[3] == (0, 0, 0)
     assert got[4] == (1, 0, 500000)
+    assert got[5] == (0, 0, 0)  # NULL text == empty, never size(NULL) = -1
 
 
 def test_pii_masking(spark):

@@ -37,6 +37,9 @@ def test_canonical_url_cases(spark):
             "http://example.com/x?keep=1&ref",  # bare tracking key dropped
             "not a url #tail",               # malformed: trim+frag strip only
             "  http://A.B/  ",               # surrounding whitespace
+            "http://example.com/p//",        # ALL trailing slashes stripped
+            "http://www.www.example.com/",   # stacked www. stripped in one pass
+            "http://example.com///",         # all-slash path -> root
         ],
     )
     assert got == [
@@ -49,6 +52,9 @@ def test_canonical_url_cases(spark):
         "http://example.com/x?keep=1",
         "not a url ",
         "http://a.b/",
+        "http://example.com/p",
+        "http://example.com/",
+        "http://example.com/",
     ]
 
 
@@ -81,6 +87,27 @@ def test_url_dup_groups_and_dedup(spark):
     # no ts column: max id wins
     kept2 = sorted(r.id for r in url_dedup(df, "id", "url").collect())
     assert kept2 == [2, 3, 4]
+
+
+def test_url_dedup_null_and_blank_urls_survive(spark):
+    """URL-less rows must NOT collapse into one survivor (that would be
+    silent data loss on a corpus with partial URL coverage), and they
+    are not URL-dup groups."""
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, None, ts),
+        (2, None, ts),
+        (3, "   ", ts),
+        (4, "", ts),
+        (5, "http://a.com/p", ts),
+        (6, "HTTP://a.com:80/p", ts),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, ts timestamp")
+    kept = sorted(r.id for r in url_dedup(df, "id", "url", "ts").collect())
+    assert kept == [1, 2, 3, 4, 6]  # only the real URL dup collapses
+
+    groups = url_dup_groups(df, "id", "url", "ts").collect()
+    assert len(groups) == 1 and groups[0].canon_url == "http://a.com/p"
 
 
 def test_sentence_dedup_boilerplate(spark):
@@ -126,8 +153,8 @@ def test_canonical_url_idempotent(spark):
     import itertools
 
     schemes = ["http", "HTTP", "https", "ftp"]
-    hosts = ["www.Ex.COM", "ex.com:80", "www.ex.com:443", "ex.com:8080"]
-    paths = ["", "/", "/A/b/", "/x"]
+    hosts = ["www.Ex.COM", "ex.com:80", "www.ex.com:443", "ex.com:8080", "www.www.ex.com"]
+    paths = ["", "/", "/A/b/", "/x", "/p//", "//"]
     queries = ["", "?", "?b=2&a=1", "?utm_source=x&a=1", "?ref&z=1&gclid=9"]
     frags = ["", "#f"]
     urls = [
