@@ -7,12 +7,15 @@ stage shrinks the next stage's input:
 
   1. URL dedup        — canonicalize, keep the latest crawl snapshot
                         per canonical URL (skipped without --url-col)
-  2. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
-  3. sentence dedup   — strip corpus-duplicated boilerplate sentences
+  2. PII masking      — emails/IPv4/phone runs → typed placeholders
+                        (--mask-pii; before dedup so docs differing
+                        only in PII collapse)
+  3. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
+  4. sentence dedup   — strip corpus-duplicated boilerplate sentences
                         (cookie banners, nav bars, footers)
-  4. decontamination  — drop docs sharing a 13-word-gram with any
+  5. decontamination  — drop docs sharing a 13-word-gram with any
                         benchmark text (skipped without --benchmark)
-  5. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
+  6. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
                         verify → connected components → keep cluster min-id
 
 Ship + run:
@@ -44,6 +47,9 @@ def main() -> None:
     ap.add_argument("--sentence-min-count", type=int, default=0,
                     help="strip sentences duplicated >= N times corpus-wide "
                          "(0 = skip the sentence stage)")
+    ap.add_argument("--mask-pii", action="store_true",
+                    help="scrub emails/IPv4/phone runs to typed placeholders "
+                         "before dedup")
     ap.add_argument("--benchmark",
                     help="benchmark/eval-set parquet (text column named by "
                          "--bench-text-col): enable the decontamination stage")
@@ -129,6 +135,11 @@ def main() -> None:
         df = checkpoint(
             "after_url_dedup", url_dedup(df, args.id_col, args.url_col, args.ts_col)
         )
+
+    if args.mask_pii:
+        from deezymatch_spark.functions import mask_pii
+
+        df = df.withColumn(args.text_col, mask_pii(F.col(args.text_col)))
 
     df = checkpoint("after_exact_dedup", exact_dedup(df, args.id_col, args.text_col))
 

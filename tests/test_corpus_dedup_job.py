@@ -116,6 +116,7 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             # doc 6's body is 10 words — use 8-grams so the planted
             # benchmark text actually flags it
             "--benchmark", benchd, "--decontam-ngram", "8",
+            "--mask-pii",
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
