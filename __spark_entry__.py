@@ -585,16 +585,11 @@ def q_classification_metrics(spark, sf):
         (F.col("vec_id") % 3 == 0).cast("int").alias("label"),
         (F.element_at("embedding", 1) > 0).cast("int").alias("prediction"),
     )
-    # ratios as BIGINT micros: round(x, 6) emits a double whose decimal
-    # serialization the driver's hasher may format differently per
-    # engine (r1's only red cell); integers hash representation-stably
-    return classification_metrics(e).select(
-        F.round(F.col("accuracy") * 1e6, 0).cast("long").alias("accuracy_micro"),
-        F.round(F.col("precision") * 1e6, 0).cast("long").alias("precision_micro"),
-        F.round(F.col("recall") * 1e6, 0).cast("long").alias("recall_micro"),
-        F.round(F.col("f1") * 1e6, 0).cast("long").alias("f1_micro"),
-        "tp", "fp", "fn", "tn",
-    )
+    # scaled=True: ratios as exact bigint (num*1e6) div den on BOTH
+    # engines — no doubles/round() anywhere, so there is no HALF_UP vs
+    # HALF_EVEN or last-ulp boundary for the engines to disagree on
+    # (r1+r2's only red cell was this query's float rounding)
+    return classification_metrics(e, scaled=True)
 
 
 def _neardup_corpus(spark, sf):
@@ -1246,11 +1241,10 @@ def oracle_sql() -> dict[str, str]:
                     sum(case when y=0 and p=0 then 1 else 0 end) as tn
                   from s)
             select
-              cast(round((tp+tn)::double / greatest(tp+fp+fn+tn, 1) * 1e6) as bigint) as accuracy_micro,
-              cast(round(tp::double / greatest(tp+fp, 1) * 1e6) as bigint) as precision_micro,
-              cast(round(tp::double / greatest(tp+fn, 1) * 1e6) as bigint) as recall_micro,
-              cast(round(2.0 * (tp::double/greatest(tp+fp,1)) * (tp::double/greatest(tp+fn,1))
-                / greatest((tp::double/greatest(tp+fp,1)) + (tp::double/greatest(tp+fn,1)), 1e-12) * 1e6) as bigint) as f1_micro,
+              cast(((tp+tn) * 1000000) // greatest(tp+fp+fn+tn, 1) as bigint) as accuracy_micro,
+              cast((tp * 1000000) // greatest(tp+fp, 1) as bigint) as precision_micro,
+              cast((tp * 1000000) // greatest(tp+fn, 1) as bigint) as recall_micro,
+              cast((2 * tp * 1000000) // greatest(2*tp+fp+fn, 1) as bigint) as f1_micro,
               tp, fp, fn, tn
             from c""",
         "doc_fingerprints": f"""

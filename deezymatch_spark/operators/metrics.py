@@ -76,12 +76,26 @@ def mean_average_precision(
 
 
 def classification_metrics(
-    df: DataFrame, *, label_col: str = "label", pred_col: str = "prediction"
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+    scaled: bool = False,
 ) -> DataFrame:
     """→ 1-row DataFrame[accuracy, precision, recall, f1, tp, fp, fn, tn]
     from a single confusion-matrix aggregation (A3 — replaces the
     reference's sklearn calls over collected arrays,
-    rnn_networks.py:415-419)."""
+    rnn_networks.py:415-419).
+
+    ``scaled=True`` returns [accuracy_micro, precision_micro,
+    recall_micro, f1_micro, tp, fp, fn, tn] where every ratio is the
+    exact bigint ``(num · 10⁶) div den`` — no doubles, no rounding
+    anywhere, so the result is bit-identical across engines regardless
+    of float formatting or HALF_UP-vs-HALF_EVEN `round()` semantics
+    (same trick as ``bcubed(scaled=True)``). F1 uses its closed form
+    ``(2·tp·10⁶) div (2·tp+fp+fn)`` so no precision/recall
+    intermediates exist to lose bits. Exact up to ~9.2e12 rows
+    (n·10⁶ < 2⁶³)."""
     y = F.col(label_col).cast("int")
     p = F.col(pred_col).cast("int")
     agg = df.agg(
@@ -91,6 +105,22 @@ def classification_metrics(
         F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
     )
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    if scaled:
+        return agg.select(
+            F.expr(
+                "((tp + tn) * 1000000) div greatest(tp + fp + fn + tn, 1)"
+            ).alias("accuracy_micro"),
+            F.expr("(tp * 1000000) div greatest(tp + fp, 1)").alias(
+                "precision_micro"
+            ),
+            F.expr("(tp * 1000000) div greatest(tp + fn, 1)").alias(
+                "recall_micro"
+            ),
+            F.expr("(2 * tp * 1000000) div greatest(2 * tp + fp + fn, 1)").alias(
+                "f1_micro"
+            ),
+            "tp", "fp", "fn", "tn",
+        )
     prec = tp / F.greatest(tp + fp, F.lit(1))
     rec = tp / F.greatest(tp + fn, F.lit(1))
     return agg.select(

@@ -278,13 +278,19 @@ def incremental_er(
     the two can diverge only on pairs whose every shared key is hot.
 
     Crash consistency: the docs append is idempotent (re-ingesting a
-    batch dedups on id), and the clusters table is replaced via
-    write-to-``clusters_next`` + rename, so a job killed mid-update
-    re-heals by re-running the same delta.
+    batch dedups on id), and the clusters table is replaced by a
+    recoverable three-step swap (write ``clusters_next`` → rename
+    ``clusters``→``clusters_old`` → rename ``clusters_next``→
+    ``clusters`` → delete ``clusters_old``). A job killed in ANY
+    window re-heals: on startup ``_finish_cluster_swap`` completes a
+    half-done swap (``clusters`` missing but a ``_SUCCESS``-stamped
+    ``clusters_next``/``clusters_old`` present) before the delta is
+    re-run, so the state is never bricked.
     """
     docs_path = os.path.join(state_dir, "docs")
     clusters_path = os.path.join(state_dir, "clusters")
 
+    _finish_cluster_swap(spark, clusters_path)
     if not _is_done(spark, docs_path):
         st = er_stages(
             pages_new, spark=spark, jw_threshold=jw_threshold, lev_max=lev_max,
@@ -339,9 +345,37 @@ def incremental_er(
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(clusters_path)
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hp, True)
+    old = jvm.org.apache.hadoop.fs.Path(clusters_path + "_old")
+    fs.delete(old, True)  # stale _old from a crash after a completed swap
+    fs.rename(hp, old)
     fs.rename(jvm.org.apache.hadoop.fs.Path(next_path), hp)
+    fs.delete(old, True)
     return _er_assignment(docs_all, spark.read.parquet(clusters_path))
+
+
+def _finish_cluster_swap(spark: SparkSession, clusters_path: str) -> None:
+    """Complete a half-done clusters-table swap left by a killed job.
+
+    Invariant of the swap in :func:`incremental_er`: ``clusters_next``
+    is only renamed away AFTER ``clusters`` has been renamed to
+    ``clusters_old``, so if ``clusters`` is missing, a ``_SUCCESS``-
+    stamped ``clusters_next`` (preferred — it is the newer state) or
+    ``clusters_old`` must exist; promote it and clean up."""
+    if _is_done(spark, clusters_path):
+        return
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(clusters_path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    nxt = jvm.org.apache.hadoop.fs.Path(clusters_path + "_next")
+    old = jvm.org.apache.hadoop.fs.Path(clusters_path + "_old")
+    if _is_done(spark, clusters_path + "_next"):
+        fs.delete(hp, True)  # partial/un-stamped clusters dir, if any
+        fs.rename(nxt, hp)
+        fs.delete(old, True)
+    elif _is_done(spark, clusters_path + "_old"):
+        fs.delete(hp, True)
+        fs.rename(old, hp)
+        fs.delete(nxt, True)
 
 
 def _er_assignment(docs: DataFrame, comps: DataFrame) -> DataFrame:

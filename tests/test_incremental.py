@@ -162,6 +162,44 @@ def test_incremental_er_pipeline_matches_batch(spark, tmp_path):
     assert {(r.url, r.entity_id) for r in a3.collect()} == batch
 
 
+def test_incremental_er_recovers_half_done_swap(spark, tmp_path):
+    """A job killed between the clusters→clusters_old and
+    clusters_next→clusters renames leaves NO clusters table; the next
+    incremental_er call must finish the swap (promote the stamped
+    clusters_next) instead of crashing on the missing parquet."""
+    import os
+    import shutil
+
+    from deezymatch_spark.pipeline import incremental_er
+    from deezymatch_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 400, with_truth=False)
+    is_delta = F.pmod(F.xxhash64("url"), F.lit(5)) == 0
+    first, second = pages.where(~is_delta), pages.where(is_delta)
+    kw = dict(max_block_size=1_000_000)
+    state = str(tmp_path / "er_state")
+
+    incremental_er(spark, first, state, **kw)
+    expected = {
+        (r.url, r.entity_id)
+        for r in incremental_er(spark, second, state, **kw).collect()
+    }
+
+    # simulate the kill window: clusters renamed away, next not yet in
+    clusters = os.path.join(state, "clusters")
+    os.rename(clusters, clusters + "_old")
+    shutil.copytree(clusters + "_old", clusters + "_next")
+    got = incremental_er(spark, second, state, **kw)
+    assert {(r.url, r.entity_id) for r in got.collect()} == expected
+    assert not os.path.exists(clusters + "_old")
+
+    # second window: crash right after clusters→clusters_old, before
+    # clusters_next was written stamped → fall back to clusters_old
+    os.rename(clusters, clusters + "_old")
+    got2 = incremental_er(spark, second, state, **kw)
+    assert {(r.url, r.entity_id) for r in got2.collect()} == expected
+
+
 def test_bcubed_hand_example(spark):
     # classic example: truth {a,b,c}{d,e}; pred {a,b}{c,d,e}
     rows = [("a", 1, "x"), ("b", 1, "x"), ("c", 2, "x"), ("d", 2, "y"), ("e", 2, "y")]

@@ -44,6 +44,27 @@ def test_classification_metrics(spark):
     assert abs(m.accuracy - 4 / 6) < 1e-9
 
 
+def test_classification_metrics_scaled_exact_integer(spark):
+    """scaled=True: every ratio is floor((num*1e6)/den) in pure bigint
+    arithmetic — hash-stable across engines by construction."""
+    rows = [(1, 1), (1, 1), (0, 1), (1, 0), (0, 0), (0, 0)]
+    df = spark.createDataFrame(rows, "label int, prediction int")
+    m = classification_metrics(df, scaled=True).collect()[0]
+    # tp=2 fp=1 fn=1 tn=2; f1 closed form = 2*2/(2*2+1+1) = 2/3
+    assert m.accuracy_micro == (4 * 1_000_000) // 6
+    assert m.precision_micro == (2 * 1_000_000) // 3
+    assert m.recall_micro == (2 * 1_000_000) // 3
+    assert m.f1_micro == (4 * 1_000_000) // 6
+    assert (m.tp, m.fp, m.fn, m.tn) == (2, 1, 1, 2)
+
+    # degenerate: no positives predicted or labeled → all-zero ratios
+    # except accuracy, no division-by-zero
+    neg = spark.createDataFrame([(0, 0), (0, 0)], "label int, prediction int")
+    z = classification_metrics(neg, scaled=True).collect()[0]
+    assert (z.precision_micro, z.recall_micro, z.f1_micro) == (0, 0, 0)
+    assert z.accuracy_micro == 1_000_000
+
+
 def _emb(spark, n=200):
     return (
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
