@@ -16,13 +16,14 @@ __all__ = [
     "inference",
     "combine_vecs",
     "candidate_ranker",
+    "candidate_ranker_init",
     "plot_log",
 ]
 
 
 def __getattr__(name):
     if name in ("train", "finetune", "inference", "combine_vecs",
-                "candidate_ranker"):
+                "candidate_ranker", "candidate_ranker_init"):
         from . import api
 
         return getattr(api, name)

@@ -46,7 +46,14 @@ from .text import Vocabulary, encode_tokens, pad_sequence, string_split
 
 SEED = 1364  # DeezyMatch.py:33
 
-__all__ = ["train", "finetune", "inference", "combine_vecs", "candidate_ranker"]
+__all__ = [
+    "train",
+    "finetune",
+    "inference",
+    "combine_vecs",
+    "candidate_ranker",
+    "candidate_ranker_init",
+]
 
 DEFAULT_TOKENIZE = {
     "tokenize": ["char"],
@@ -477,9 +484,10 @@ def combine_vecs(*_args, **_kwargs):
 
 def candidate_ranker(
     spark: SparkSession,
-    queries: DataFrame,
-    candidates: DataFrame,
+    queries: DataFrame | None = None,
+    candidates: DataFrame | None = None,
     *,
+    query: str | list[str] | None = None,
     artifact_path: str | None = None,
     number_test_rows: int = -1,
     **kwargs,
@@ -487,10 +495,168 @@ def candidate_ranker(
     """Reference candidate_ranker over embedding-store tables
     [id, key, key_norm, vec]; pass artifact_path to enable the
     conf metric / calc_predict. ``number_test_rows`` > 0 caps the
-    query set to its first n rows by id (candidateRanker.py:355-358)."""
+    query set to its first n rows by id (candidateRanker.py:355-358).
+
+    ``query``: a raw string or list of strings — on-the-fly ranking
+    without a pre-built query store (candidateRanker.py:326-334,
+    utils_candidate_ranker.py:15-85). The reference spins up a temp
+    scenario on disk (tokenize → test_model → combine_vecs → load);
+    here the same thing is one in-plan vect pass: a |query|-row
+    DataFrame through ``inference(mode='vect')`` with the artifact's
+    encoder, producing the identical [id, key, key_norm, vec] store
+    the scenario path would load. Takes precedence over ``queries``
+    (reference behavior: the ``query`` branch overrides
+    query_scenario). Requires ``artifact_path``. Query ids are the
+    list positions 0..n-1, matching the reference's row order."""
+    if query is not None:
+        if artifact_path is None:
+            raise ValueError(
+                "on-the-fly query ranking needs artifact_path "
+                "(the reference's pretrained_model_path/vocab)"
+            )
+        qlist = [query] if isinstance(query, str) else list(query)
+        if not qlist:
+            raise ValueError("query list is empty")
+        qdf = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(qlist)], "id bigint, key string"
+        )
+        queries = inference(
+            spark, artifact_path, qdf, inference_mode="vect", key_col="key"
+        ).select("id", "key", "key_norm", "vec")
+    if queries is None or candidates is None:
+        raise ValueError("need candidates and either queries or query=[...]")
     scorer = None
     if artifact_path is not None:
         scorer = make_pair_scorer_udf(artifact_path, mode="siamese")
     if number_test_rows and number_test_rows > 0:
         queries = queries.orderBy("id").limit(number_test_rows)
     return _ranker(queries, candidates, pair_scorer=scorer, **kwargs)
+
+
+class candidate_ranker_init:
+    """Parameter-bundle wrapper for :func:`candidate_ranker`
+    (candidateRanker.py:42-170, exported in DeezyMatch/__init__.py:6):
+    hold the ranking params once, ``.rank()`` to run, ``.set_query()``
+    to re-rank with new queries/params without repeating the rest.
+
+    Spark-first deltas from the reference: scenarios are DataFrames
+    (``queries``/``candidates`` embedding stores) instead of on-disk
+    tensor dirs, the model/vocab pair is one ``artifact_path``, and
+    ``rank()`` both stores the result on ``self.output`` (reference
+    behavior) and returns it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        queries: DataFrame | None = None,
+        candidates: DataFrame | None = None,
+        query: str | list[str] | None = None,
+        artifact_path: str | None = None,
+        ranking_metric: str = "faiss",
+        selection_threshold: float = 0.8,
+        num_candidates: int = 10,
+        search_size: int = 4,
+        length_diff: int | None = None,
+        calc_predict: bool = False,
+        calc_cosine: bool = False,
+        number_test_rows: int = -1,
+        **ranker_kwargs,
+    ):
+        self.spark = spark
+        self.queries = queries
+        self.candidates = candidates
+        self.query = query
+        self.artifact_path = artifact_path
+        self.ranking_metric = ranking_metric
+        self.selection_threshold = selection_threshold
+        self.num_candidates = num_candidates
+        self.search_size = search_size
+        self.length_diff = length_diff
+        self.calc_predict = calc_predict
+        self.calc_cosine = calc_cosine
+        self.number_test_rows = number_test_rows
+        self.ranker_kwargs = ranker_kwargs
+        self.output: DataFrame | None = None
+
+    def rank(self) -> DataFrame:
+        self.output = candidate_ranker(
+            self.spark,
+            self.queries,
+            self.candidates,
+            query=self.query,
+            artifact_path=self.artifact_path,
+            ranking_metric=self.ranking_metric,
+            selection_threshold=self.selection_threshold,
+            num_candidates=self.num_candidates,
+            search_size=self.search_size,
+            length_diff=self.length_diff,
+            calc_predict=self.calc_predict,
+            calc_cosine=self.calc_cosine,
+            number_test_rows=self.number_test_rows,
+            **self.ranker_kwargs,
+        )
+        return self.output
+
+    def set_query(
+        self,
+        query: str | list[str] | None = None,
+        queries: DataFrame | None = None,
+        ranking_metric: str | None = None,
+        selection_threshold: float | None = None,
+        num_candidates: int | None = None,
+        search_size: int | None = None,
+        length_diff: int | None = None,
+        calc_predict: bool = False,
+        calc_cosine: bool = False,
+        number_test_rows: int | None = None,
+    ) -> None:
+        """Update-and-keep semantics ≙ candidateRanker.py:105-140:
+        falsy args leave the stored value; the calc_* flags are
+        REASSIGNED from their (default-False) argument every call —
+        the reference's documented quirk, kept for parity."""
+        if query:
+            self.query = query
+        if queries is not None:
+            self.queries = queries
+        if ranking_metric:
+            self.ranking_metric = ranking_metric
+        if selection_threshold:
+            self.selection_threshold = selection_threshold
+        if num_candidates:
+            self.num_candidates = num_candidates
+        if search_size:
+            self.search_size = search_size
+        if length_diff:
+            self.length_diff = length_diff
+        self.calc_predict = calc_predict
+        self.calc_cosine = calc_cosine
+        if number_test_rows:
+            self.number_test_rows = number_test_rows
+
+    def __str__(self) -> str:
+        lines = [
+            "-------------------------",
+            "* Candidate ranker params",
+            "-------------------------",
+            "",
+        ]
+        if self.query:
+            lines += ["Queries are based on the following list:", f"{self.query}", ""]
+        else:
+            lines += ["Queries are based on the embedding-store DataFrame", ""]
+        lines += [
+            "---Searching params---",
+            f"num_candidates:\t\t{self.num_candidates}",
+            f"ranking_metric:\t\t{self.ranking_metric}",
+            f"selection_threshold:\t{self.selection_threshold}",
+            f"search_size:\t\t{self.search_size}",
+            f"length_diff:\t\t{self.length_diff}",
+            f"calc_predict:\t\t{self.calc_predict}",
+            f"calc_cosine:\t\t{self.calc_cosine}",
+            f"number_test_rows:\t{self.number_test_rows}",
+            "---I/O---",
+            f"artifact_path:\t\t{self.artifact_path}",
+        ]
+        return "\n".join(lines)

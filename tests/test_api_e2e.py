@@ -147,3 +147,73 @@ def test_candidate_ranker_with_conf_metric(spark, artifact):
         matches = [r.dl_match for r in rs]
         assert matches == sorted(matches, reverse=True)
         assert all(m >= 0.0 for m in matches)
+
+
+def _mini_store(spark, artifact, names):
+    from deezymatch_spark.functions.udfs import normalize_udf
+    from deezymatch_spark.model.scorer_udf import make_encode_vec_udf
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, key string"
+    ).withColumn("key_norm", normalize_udf(F.col("key")))
+    return df.withColumn("vec", make_encode_vec_udf(artifact)(F.col("key_norm")))
+
+
+def _ranked_set(df):
+    return {
+        (r.query, r.rank, r.candidate, round(r.faiss_dist, 6))
+        for r in df.collect()
+    }
+
+
+def test_candidate_ranker_on_the_fly_query(spark, artifact):
+    """candidate_ranker(query=[...]) ≡ the pre-built query-store path
+    (reference candidateRanker.py:326-334: the query branch builds a
+    temp scenario whose vectors must equal scenario-generated ones)."""
+    cands = _mini_store(
+        spark, artifact, ["london", "londen", "paris", "pariss", "berlin"]
+    )
+    qnames = ["London", "  Paris"]
+    kw = dict(
+        artifact_path=artifact, ranking_metric="faiss",
+        selection_threshold=100.0, num_candidates=3,
+    )
+    on_fly = api.candidate_ranker(spark, candidates=cands, query=qnames, **kw)
+    store = api.candidate_ranker(
+        spark, _mini_store(spark, artifact, qnames), cands, **kw
+    )
+    assert _ranked_set(on_fly) == _ranked_set(store)
+    # single raw string accepted like the reference
+    one = api.candidate_ranker(spark, candidates=cands, query="London", **kw)
+    assert {r.query_orig for r in one.collect()} == {"London"}
+
+    with pytest.raises(ValueError, match="artifact_path"):
+        api.candidate_ranker(spark, candidates=cands, query=["x"])
+    with pytest.raises(ValueError, match="candidates"):
+        api.candidate_ranker(spark, query=["x"], artifact_path=artifact)
+
+
+def test_candidate_ranker_init_rank_and_set_query(spark, artifact):
+    """candidate_ranker_init wrapper: .rank() stores self.output,
+    .set_query() re-ranks with updated queries (candidateRanker.py:42-170)."""
+    cands = _mini_store(
+        spark, artifact, ["london", "londen", "paris", "pariss", "berlin"]
+    )
+    ranker = api.candidate_ranker_init(
+        spark, candidates=cands, query=["London"], artifact_path=artifact,
+        ranking_metric="faiss", selection_threshold=100.0, num_candidates=3,
+    )
+    out1 = ranker.rank()
+    assert ranker.output is out1
+    assert {r.query_orig for r in out1.collect()} == {"London"}
+
+    ranker.set_query(query=["Berlin"], num_candidates=2)
+    out2 = ranker.rank()
+    got = out2.collect()
+    assert {r.query_orig for r in got} == {"Berlin"}
+    assert max(r.rank for r in got) <= 2
+    # falsy args keep stored params; calc flags reassign (reference quirk)
+    ranker.calc_cosine = True
+    ranker.set_query(query=["Paris"])
+    assert ranker.num_candidates == 2 and ranker.calc_cosine is False
+    assert "Paris" in str(ranker)
