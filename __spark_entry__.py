@@ -858,22 +858,66 @@ def q_train_metrics(spark, sf):
     return spark.createDataFrame(_train_metrics_rows(), _TRAIN_METRICS_SCHEMA)
 
 
-def q_pipeline_entity_clusters(spark, sf):
-    """End-to-end ER slice on the synthetic pages table: extract →
-    normalize (NFKD UDF) → block → JW score → threshold → transitive
-    closure. Rows-only (generator-based input)."""
-    from deezymatch_spark.pipeline import run_er_pipeline
+def _er_pages_from_docs(spark, sf):
+    """Deterministic pages table derived from the documents parquet so
+    the FULL ER pipeline is oracle-checkable: title = scrubbed 24-char
+    text prefix; each doc gets a near-duplicate twin at doc_id+1e6 with
+    the 5th title char deleted (lev=1 → guaranteed true matches). The
+    html wraps the title so S0's extract_title round-trips exactly."""
+    d = _t(spark, sf, "documents")
+    title = F.trim(
+        F.substring(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), 1, 24)
+    )
+    base = d.select("doc_id", title.alias("title")).where(F.length("title") >= 6)
+    mut = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.trim(
+            F.concat(F.substring("title", 1, 4), F.expr("substring(title, 6)"))
+        ).alias("title"),
+    )
+    return base.unionByName(mut).select(
+        F.concat(F.lit("https://ex.org/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.lit("2021-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>"),
+                F.col("title"),
+                F.lit("</title></head><body></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("title").alias("text"),
+        F.lit("en").alias("lang"),
+    )
 
-    n = 2000 if "0.01" in sf else 500
-    return run_er_pipeline(spark, n_pages=n)
+
+def q_pipeline_entity_clusters(spark, sf):
+    """End-to-end ER pipeline (er_stages: extract → NFKD-normalize →
+    g:/w: blocking with the 100-member hot-key cap → length/Lev gates →
+    JW ≥ 0.82 → connected components) over documents-derived pages.
+    Output (url, entity): entity = lexicographic-min url of the
+    cluster, so no engine-internal ids (xxhash64) or floats are
+    compared — only the clustering DECISIONS."""
+    from deezymatch_spark.pipeline import er_stages
+
+    st = er_stages(_er_pages_from_docs(spark, sf), spark=spark)
+    w = Window.partitionBy("entity_id")
+    out = st["clusters"].select("url", F.min("url").over(w).alias("entity"))
+    st["release"]()
+    return out
 
 
 # ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the end-to-end entity-resolution pipeline at sf0.001."""
-    return q_pipeline_entity_clusters(spark, SF_DEFAULT)
+    """Flagship: the end-to-end entity-resolution pipeline on the
+    synthetic Common-Crawl-style pages generator at sf0.001 scale."""
+    from deezymatch_spark.pipeline import run_er_pipeline
+
+    return run_er_pipeline(spark, n_pages=500)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1476,4 +1520,52 @@ def oracle_sql() -> dict[str, str]:
             + ") as t(epoch, phase, loss_micro, acc_micro, precision_micro, "
             "recall_micro, macro_f1_micro, weighted_f1_micro)"
         ),
+        # full ER pipeline replica: same title derivation + near-dup
+        # twin, g:/w: blocking keys (the families ngram_blocking_keys /
+        # token_stats already pin), 100-member hot-key cap, length +
+        # levenshtein<=2 + jaro_winkler>=0.82 gates, recursive-CTE
+        # transitive closure (comp = min reachable id, matching
+        # operators/cc.py), entity = min url per cluster
+        "pipeline_entity_clusters": f"""
+            with recursive src as (
+              select doc_id, trim(substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 24)) as title
+              from documents),
+            base as (select * from src where length(title) >= 6),
+            pg as (
+              select doc_id, title from base
+              union all
+              select doc_id + 1000000 as doc_id,
+                     trim(substr(title, 1, 4) || substr(title, 6)) as title
+              from base),
+            docs as (select doc_id as id,
+                       'https://ex.org/' || cast(doc_id as varchar) as url,
+                       title as t
+                     from pg),
+            gk as (select id, 'g:' || unnest(list_distinct({_d_grams("substr(t,1,12)", 3)})) as bk
+                   from docs),
+            wk as (select id, 'w:' || unnest(list_distinct(list_filter(
+                       string_split_regex(t, '{_D_WORD_RE}'), x -> x != ''))) as bk
+                   from docs),
+            keys as (select * from gk union all select * from wk),
+            good as (select bk from keys group by bk having count(*) <= 100),
+            k2 as (select keys.* from keys join good using (bk)),
+            cand as (select distinct a.id as id1, b.id as id2
+                     from k2 a join k2 b using (bk) where a.id < b.id),
+            m as (select id1, id2 from cand
+                  join docs d1 on d1.id = cand.id1
+                  join docs d2 on d2.id = cand.id2
+                  where abs(length(d1.t) - length(d2.t)) <= 2
+                    and levenshtein(d1.t, d2.t) <= 2
+                    and jaro_winkler_similarity(d1.t, d2.t) >= 0.82),
+            edges as (select id1 as a, id2 as b from m
+                      union all
+                      select id2 as a, id1 as b from m),
+            walk(node, comp) as (
+              select distinct a as node, a as comp from edges
+              union
+              select e.b as node, w.comp from walk w join edges e on e.a = w.node),
+            comp as (select node, min(comp) as component from walk group by node),
+            assign as (select d.url, coalesce(c.component, d.id) as eid
+                       from docs d left join comp c on c.node = d.id)
+            select url, min(url) over (partition by eid) as entity from assign""",
     }
