@@ -209,6 +209,8 @@ def train(
     train_prop: float = 0.7,
     val_prop: float = 0.15,
     test_prop: float = 0.15,
+    max_vocab_size: int | None = None,
+    min_token_freq: int | None = None,
 ) -> str:
     """→ artifact dir path. ``dataset``: TSV path (reference contract,
     S1) or DataFrame[s1, s2, label, original_index].
@@ -224,6 +226,16 @@ def train(
     vocabulary with a character list (list of tokens, or a path to a
     JSON list — the reference reads a pickle; pickle is avoided by
     design) so those tokens get the first ids in list order.
+
+    ``max_vocab_size`` / ``min_token_freq`` bound the vocab collect:
+    char/ngram vocabs are intrinsically small (the reference's case,
+    ~7.5k tokens), but ``tokenize=["word"]`` over a web-scale corpus
+    has an unbounded distinct-token set and the driver collect would
+    OOM. ``min_token_freq`` drops tokens seen fewer times;
+    ``max_vocab_size`` keeps the top-K by (frequency desc, first-seen
+    asc) — both applied ON THE EXECUTORS before the collect, so driver
+    memory is O(K) regardless of corpus size. Dropped tokens encode as
+    _UNK. Defaults (None) preserve exact reference behavior.
     """
     cfg = dict(DEFAULT_TOKENIZE, **(tokenize_cfg or {}))
 
@@ -259,13 +271,19 @@ def train(
     # comes from monotonically_increasing_id (partitionId << 33 | row),
     # so idx * 1e6 + pos would overflow int64 past ~1073 partitions and
     # collide for >1M-token rows; struct comparison has neither failure.
-    first_seen = (
-        toks.groupBy("token")
-        .agg(F.min(F.struct("original_index", "pos")).alias("_fs"))
-        .orderBy("_fs")
-        .select("token")
-        .collect()
+    tok_agg = toks.groupBy("token").agg(
+        F.min(F.struct("original_index", "pos")).alias("_fs"),
+        F.count("*").alias("_n"),
     )
+    if min_token_freq is not None and min_token_freq > 1:
+        tok_agg = tok_agg.where(F.col("_n") >= min_token_freq)
+    if max_vocab_size is not None:
+        # TakeOrderedAndProject: executors each keep K rows, driver
+        # merges — the collect is O(max_vocab_size), never corpus-sized
+        tok_agg = tok_agg.orderBy(
+            F.col("_n").desc(), F.col("_fs").asc()
+        ).limit(max_vocab_size)
+    first_seen = tok_agg.orderBy("_fs").select("token").collect()
     vocab = Vocabulary(model_name)
     if read_list_chars is not None:
         # S3: seeded chars take the first ids, in list order

@@ -527,12 +527,23 @@ def url_dedup(
     )
 
 
+def _sent_key128(col) -> F.Column:
+    """128-bit composite sentence key: two independent xxhash64 lanes
+    (second lane domain-separated by a prefix byte). Collision odds for
+    n distinct sentences ≈ n²/2¹²⁹ — at 10¹² sentences that is ~3e-15,
+    an acceptable trade for not shuffling raw sentence text."""
+    return F.struct(
+        F.xxhash64(col).alias("h1"), F.xxhash64(F.lit("\x01"), col).alias("h2")
+    )
+
+
 def duplicated_sentences(
     df: DataFrame,
     id_col: str,
     text_col: str,
     min_count: int = 2,
     delim: str = ". ",
+    hash_key: bool = False,
 ) -> DataFrame:
     """Corpus-wide duplicated-sentence table (the CCNet/Dolma
     paragraph-dedup building block): split every document on
@@ -541,17 +552,23 @@ def duplicated_sentences(
     → [sent, n_occurrences, n_docs] for sentences appearing ≥
     ``min_count`` times (total occurrences; ``n_docs`` distinguishes
     cross-document boilerplate from within-document repetition). One
-    map-side-combinable shuffle keyed on the sentence text (at 100 TB
-    you'd key on a 128-bit hash instead and accept the collision
-    odds; the text key keeps the operator oracle-exact).
+    map-side-combinable shuffle.
+
+    ``hash_key=True`` — the 100 TB path: aggregate on a 16-byte
+    128-bit hash (``sent_key`` struct column replaces ``sent``)
+    instead of the raw sentence text, so the exchange carries fixed
+    16-byte keys rather than arbitrary-length strings. The text path
+    (default) stays bit-exact for oracle verification.
     """
+    key = _sent_key128(F.col("sent")).alias("sent_key") if hash_key else F.col("sent")
     return (
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(F.split(F.col(text_col), _re_escape(delim), -1)).alias("sent"),
         )
         .where(F.col("sent") != "")
-        .groupBy("sent")
+        .select("_id", key)
+        .groupBy("sent_key" if hash_key else "sent")
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("_id").alias("n_docs"),
@@ -566,6 +583,7 @@ def sentence_dedup(
     text_col: str,
     min_count: int = 2,
     delim: str = ". ",
+    hash_key: bool = False,
 ) -> DataFrame:
     """Remove every occurrence of corpus-duplicated sentences from
     every document (CCNet-style boilerplate removal: nav bars, cookie
@@ -582,17 +600,26 @@ def sentence_dedup(
     only the *duplicated* sentences (Zipf-small vs the corpus), so AQE
     broadcasts it in the common case; the re-aggregation shuffles
     (id, pos, sent) rows once. No UDFs anywhere.
+
+    ``hash_key=True``: the duplicated-sentence aggregation and the
+    anti-join key on a 128-bit sentence hash instead of raw text (see
+    :func:`duplicated_sentences`) — same output, slimmer exchanges.
     """
-    dup = duplicated_sentences(df, id_col, text_col, min_count, delim).select("sent")
+    join_key = "sent_key" if hash_key else "sent"
+    dup = duplicated_sentences(
+        df, id_col, text_col, min_count, delim, hash_key=hash_key
+    ).select(join_key)
     parts = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re_escape(delim), -1)).alias(
             "pos", "sent"
         ),
     ).where(F.col("sent") != "")
+    if hash_key:
+        parts = parts.withColumn("sent_key", _sent_key128(F.col("sent")))
     total = parts.groupBy(id_col).agg(F.count("*").alias("_n_total"))
     kept = (
-        parts.join(dup, "sent", "left_anti")
+        parts.join(dup, join_key, "left_anti")
         .groupBy(id_col)
         .agg(
             F.array_join(

@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--sentence-min-count", type=int, default=0,
                     help="strip sentences duplicated >= N times corpus-wide "
                          "(0 = skip the sentence stage)")
+    ap.add_argument("--sentence-hash-key", action="store_true",
+                    help="key the sentence-dedup shuffle on a 128-bit "
+                         "hash instead of raw sentence text (scale path)")
     ap.add_argument("--mask-pii", action="store_true",
                     help="scrub emails/IPv4/phone runs to typed placeholders "
                          "before dedup")
@@ -145,7 +148,8 @@ def main() -> None:
 
     if args.sentence_min_count > 0:
         cleaned = sentence_dedup(
-            df, args.id_col, args.text_col, min_count=args.sentence_min_count
+            df, args.id_col, args.text_col, min_count=args.sentence_min_count,
+            hash_key=args.sentence_hash_key,
         )
         # swap in the boilerplate-stripped text, drop emptied-out docs
         df = checkpoint(

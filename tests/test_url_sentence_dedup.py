@@ -134,6 +134,36 @@ def test_sentence_dedup_boilerplate(spark):
     assert sorted(out) == [1, 2, 3, 4]
 
 
+def test_sentence_dedup_hash_key_equals_text_key(spark):
+    """hash_key=True keys the shuffle on a 128-bit hash but must yield
+    identical outputs; the plan's aggregate must not carry the raw
+    sentence string as its grouping key."""
+    boiler = "Accept cookies to continue"
+    rows = [
+        (1, f"{boiler}. unique alpha text. tail one"),
+        (2, f"{boiler}. unique beta text"),
+        (3, f"{boiler}. {boiler}"),
+        (4, "standalone gamma text"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    text_mode = sorted(
+        sentence_dedup(df, "doc_id", "text").collect(), key=lambda r: r.doc_id
+    )
+    hash_mode = sorted(
+        sentence_dedup(df, "doc_id", "text", hash_key=True).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in text_mode] == [tuple(r) for r in hash_mode]
+
+    dup = duplicated_sentences(df, "doc_id", "text", hash_key=True)
+    assert dup.columns == ["sent_key", "n_occurrences", "n_docs"]
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    # the aggregate keys on the struct-of-longs, not the sentence text
+    assert "sent_key" in plan
+    assert [(r.n_occurrences, r.n_docs) for r in dup.collect()] == [(4, 3)]
+
+
 def test_sentence_dedup_preserves_order(spark):
     # surviving sentences come back in original order even after the
     # anti-join shuffles them
