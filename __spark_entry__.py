@@ -769,9 +769,6 @@ def _expected_frame_rows(n: int = 120, every_n: int = 5):
     must byte-match this single-process computation (frame bytes
     compared via md5 so no binary crosses the hash compare)."""
     import hashlib
-    import struct as _struct
-
-    import numpy as np
 
     from deezymatch_spark import multimodal as M
 
@@ -780,7 +777,8 @@ def _expected_frame_rows(n: int = 120, every_n: int = 5):
         payload = M.encode_fake_video(24, 12 + i % 12, 4 + i % 4, 4 + (i * 3) % 4, 3, seed=i)
         _, nf, w, h, c, frames = M._decode_video(payload)
         for idx in range(0, nf, every_n):
-            png = M._IMG_MAGIC + _struct.pack("<HHB", w, h, c) + frames[idx].tobytes()
+            frame = frames[idx].reshape((h, w) if c == 1 else (h, w, c))
+            png = M.encode_png(frame)
             rows.append((i, idx, w, h, hashlib.md5(png).hexdigest()))
     return rows
 

@@ -42,6 +42,7 @@ __all__ = [
     "encode_fake_image",
     "encode_fake_audio",
     "encode_fake_video",
+    "encode_png",
     "image_features",
     "audio_features",
     "frame_sample",
@@ -61,6 +62,41 @@ MEDIA_SCHEMA = StructType(
 _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
 _VID_MAGIC = b"FAKEVID1"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal standards-compliant PNG encoder (RFC 2083) from stdlib
+    ``zlib`` + ``struct`` only — no PIL in this container. Accepts
+    8-bit grayscale ``(h, w)`` or RGB ``(h, w, 3)`` arrays; each
+    scanline uses filter type 0 (None), one zlib-compressed IDAT.
+    Output opens in any standard viewer."""
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type = 0  # grayscale
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type = 2  # truecolor RGB
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {px.shape}")
+    h, w = px.shape[:2]
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
@@ -219,8 +255,8 @@ def frame_sample(df: DataFrame, *, every_n: int = 10) -> DataFrame:
     """Video frame sampling → one row per sampled frame
     [media_id, frame_idx, width, height, frame_png]: decode the video
     payload, keep every ``every_n``-th frame, re-encode each kept frame
-    as a standalone image payload (FAKEIMG1 here — a real deployment
-    swaps in PNG encode at the same seam).
+    as a REAL standalone PNG (:func:`encode_png` — stdlib zlib, opens
+    in any viewer; only the upstream video DEcode is format-stubbed).
 
     Same scale shape as :func:`image_features`: ``mapInPandas``
     preserves partitioning (no shuffle), one Arrow crossing per batch,
@@ -234,12 +270,10 @@ def frame_sample(df: DataFrame, *, every_n: int = 10) -> DataFrame:
             for mid, payload in zip(b["media_id"], b["payload"]):
                 _, n, w, h, c, frames = _decode_video(bytes(payload))
                 for idx in range(0, n, every_n):
-                    png = (
-                        _IMG_MAGIC
-                        + struct.pack("<HHB", w, h, c)
-                        + frames[idx].tobytes()
+                    frame = frames[idx].reshape(
+                        (h, w) if c == 1 else (h, w, c)
                     )
-                    rows.append((mid, idx, w, h, png))
+                    rows.append((mid, idx, w, h, encode_png(frame)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "width", "height", "frame_png"]
             )

@@ -359,6 +359,14 @@ def candidate_pairs(
     """Self-join dedup-style pairs (id1 < id2) within one table, with
     two-tier skew handling (north_rule: salted blocking keys):
 
+    NOTE: pairs are *probabilistic* under the int64 key hashing
+    (``_hash_block_keys``): a cross-family 64-bit collision merges two
+    blocks and emits spurious ungated candidates (expected ~0.03
+    collisions at 10⁹ distinct keys). Unlike ``scored_candidate_pairs``
+    — whose lev/JW gates remove such pairs — this entry point returns
+    raw [id1, id2]; callers needing exactness must gate downstream or
+    accept the odds.
+
     - blocks larger than ``max_block_size`` → dropped (hot-key cap);
     - blocks in (``salt_threshold``, ``max_block_size``] → SALTED
       self-join: the right side keeps its deterministic salt

@@ -181,7 +181,10 @@ def connected_components(
     distributed path (used by tests to cover both).
     """
     e = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    if checkpoint:
+    if checkpoint or driver_threshold:
+        # materialize before count(): the size probe plus the follow-up
+        # consumer (driver toPandas or round 1) must not compute the
+        # canonical-edge plan twice over un-checkpointed lineage
         e = e.localCheckpoint()
     if driver_threshold and e.count() <= driver_threshold:
         return _driver_union_find(e)

@@ -181,8 +181,26 @@ def bcubed(
     n_t = cells.groupBy("truth").agg(F.sum("n_pt").alias("n_t"))
     j = cells.join(n_p, "pred").join(n_t, "truth")
     if scaled:
+        # enforce the documented exact-integer range: n_pt²·10¹² must
+        # stay under 2⁶³ or the long silently wraps (ANSI off) and the
+        # micros are garbage — fail loudly instead (runs inside the
+        # same aggregation, no extra job)
+        lim = 3_037_000
+        guarded = F.when(
+            F.col("n_pt") > lim,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bcubed(scaled=True) exact-integer range exceeded: "
+                        "contingency cell of "
+                    ),
+                    F.col("n_pt").cast("string"),
+                    F.lit(f" items > {lim}; use scaled=False"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n_pt"))
         terms = j.select(
-            (F.col("n_pt") * F.col("n_pt") * F.lit(1_000_000_000_000)).alias("_sq"),
+            (guarded * F.col("n_pt") * F.lit(1_000_000_000_000)).alias("_sq"),
             "n_pt", "n_p", "n_t",
         )
         agg = terms.agg(

@@ -1,6 +1,7 @@
 """Structured Streaming layer."""
 
 from .ops import (
+    release_query_caches,
     streaming_entity_matches,
     streaming_exact_dedup,
     streaming_pages_normalize,
@@ -12,4 +13,5 @@ __all__ = [
     "windowed_event_counts",
     "streaming_entity_matches",
     "streaming_exact_dedup",
+    "release_query_caches",
 ]

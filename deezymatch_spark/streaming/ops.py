@@ -23,7 +23,20 @@ __all__ = [
     "windowed_event_counts",
     "streaming_entity_matches",
     "streaming_exact_dedup",
+    "release_query_caches",
 ]
+
+
+def release_query_caches(query) -> None:
+    """Unpersist the static-side caches a streaming operator pinned
+    (currently: ``streaming_entity_matches``'s capped candidate-key
+    table). Call after ``query.stop()``/``awaitTermination()`` —
+    without it, repeated invocations in one session leak cached
+    blocks. No-op for queries without attached caches."""
+    handle = getattr(query, "_dzm_persisted", None)
+    if handle is not None:
+        handle.unpersist()
+        query._dzm_persisted = None
 
 
 def streaming_exact_dedup(
@@ -119,7 +132,10 @@ def streaming_entity_matches(
     batch's partition makes the sink idempotent, so end-to-end the
     output is effectively exactly-once.
 
-    → StreamingQuery (caller awaits/stops it)."""
+    → StreamingQuery (caller awaits/stops it). The capped candidate-key
+    table stays persisted for the query's lifetime; call
+    :func:`release_query_caches` on the returned query after stopping
+    it, or the cache outlives the query."""
     # same key-family default as the batch pipeline: m: bands off for
     # short-title matching (see er_stages docstring for the measurement).
     # The hot-key cap is applied ONCE on the static candidate side (a
@@ -173,10 +189,12 @@ def streaming_entity_matches(
             .parquet(output_dir)
         )
 
-    return (
+    query = (
         streaming_pages_normalize(pages_stream)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    query._dzm_persisted = cand_keys  # released by release_query_caches
+    return query

@@ -200,6 +200,23 @@ def test_incremental_er_recovers_half_done_swap(spark, tmp_path):
     assert {(r.url, r.entity_id) for r in got2.collect()} == expected
 
 
+def test_bcubed_scaled_range_guard(spark):
+    """scaled=True must raise (not silently wrap the long) when a
+    contingency cell exceeds the exact-integer range."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from deezymatch_spark.operators.metrics import bcubed
+
+    big = 3_037_001
+    df = spark.range(big).select(
+        F.col("id"), F.lit(1).alias("pred"), F.lit("x").alias("truth")
+    )
+    with pytest.raises(Exception, match="exact-integer range"):
+        bcubed(df, id_col="id", pred_col="pred", truth_col="truth",
+               scaled=True).collect()
+
+
 def test_bcubed_hand_example(spark):
     # classic example: truth {a,b,c}{d,e}; pred {a,b}{c,d,e}
     rows = [("a", 1, "x"), ("b", 1, "x"), ("c", 2, "x"), ("d", 2, "y"), ("e", 2, "y")]

@@ -60,10 +60,46 @@ def test_real_codec_raises(spark):
         image_features(df).collect()
 
 
+def _parse_png(data: bytes):
+    """Dependency-free PNG reader for the test: validates signature,
+    chunk layout, CRCs, and the filter-0 scanline structure; returns
+    (w, h, color_type, raw pixel bytes)."""
+    import struct
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        assert crc == (zlib.crc32(tag + body) & 0xFFFFFFFF), f"bad CRC in {tag}"
+        chunks.append((tag, body))
+        pos += 12 + length
+    assert [t for t, _ in chunks][0] == b"IHDR" and chunks[-1][0] == b"IEND"
+    w, h, depth, color_type, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    assert (depth, comp, filt, inter) == (8, 0, 0, 0)
+    idat = b"".join(b for t, b in chunks if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    n_ch = {0: 1, 2: 3}[color_type]
+    stride = 1 + w * n_ch
+    assert len(raw) == h * stride
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        assert line[0] == 0  # filter type None
+        rows.append(line[1:])
+    return w, h, color_type, b"".join(rows)
+
+
 def test_frame_sample(spark):
-    """Every every_n-th frame of each video comes back as a standalone
-    decodable image payload with the source frame's exact bytes."""
-    from deezymatch_spark.multimodal import _decode_image, _decode_video
+    """Every every_n-th frame of each video comes back as a REAL PNG
+    (valid chunks/CRCs, filter-0 scanlines) carrying the source
+    frame's exact pixel bytes."""
+    from deezymatch_spark.multimodal import _decode_video
 
     media = synthetic_media(spark, 12, kind="video")
     out = frame_sample(media, every_n=5).orderBy("media_id", "frame_idx").collect()
@@ -77,10 +113,22 @@ def test_frame_sample(spark):
         got = [r for r in out if r.media_id == mid]
         assert [r.frame_idx for r in got] == idxs
         for r in got:
-            fw, fh, fc, px = _decode_image(bytes(r.frame_png))
-            assert (fw, fh, fc) == (w, h, c) == (r.width, r.height, c)
-            assert px.astype("uint8").tobytes() == frames[r.frame_idx].tobytes()
+            fw, fh, ct, px = _parse_png(bytes(r.frame_png))
+            assert (fw, fh) == (w, h) == (r.width, r.height)
+            assert ct == (2 if c == 3 else 0)
+            assert px == frames[r.frame_idx].tobytes()
     assert len(out) == n_expected
+
+
+def test_encode_png_grayscale():
+    import numpy as np
+
+    from deezymatch_spark.multimodal import encode_png
+
+    arr = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    w, h, ct, px = _parse_png(encode_png(arr))
+    assert (w, h, ct) == (6, 4, 0)
+    assert px == arr.tobytes()
 
 
 def test_frame_sample_real_codec_raises(spark):

@@ -88,6 +88,20 @@ def test_streaming_entity_matches_parity_with_batch(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(outd).count() == got.count()
 
+    # release the static-side key caches both queries pinned — repeated
+    # invocations in one session must not leak cached blocks
+    from deezymatch_spark.streaming import release_query_caches
+
+    handles = [q._dzm_persisted, q2._dzm_persisted]
+    for qq in (q, q2):
+        release_query_caches(qq)
+        assert qq._dzm_persisted is None
+        release_query_caches(qq)  # idempotent no-op
+    # both queries' key caches (shared cache entry — identical plan)
+    # are actually gone from the cache manager
+    for h in handles:
+        assert not h.storageLevel.useMemory
+
 
 def test_streaming_sink_idempotent_on_batch_redelivery(spark, tmp_path):
     """Exactly-once claim: redelivering an already-written micro-batch
