@@ -109,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cutoff", type=int, default=None,
                     help="inference: test cutoff (P10)")
     ap.add_argument("-qs", "--query_scenario", help="queries store parquet")
+    ap.add_argument("-q", "--query", nargs="+", default=None,
+                    help="ranker: raw query string(s) ranked on the fly "
+                         "(no query store needed; overrides -qs)")
     ap.add_argument("-cs", "--candidate_scenario", help="candidates store parquet")
     ap.add_argument("-o", "--output", help="output path")
     ap.add_argument("-rm", "--ranking_metric", default="faiss")
@@ -194,10 +197,15 @@ def main(argv: list[str] | None = None) -> int:
                 ).csv(dest)
                 print(f"predictions written: {dest}")
         elif args.deezy_mode == "candidate_ranker":
-            qs = spark.read.parquet(args.query_scenario)
+            qs = (
+                spark.read.parquet(args.query_scenario)
+                if args.query is None
+                else None
+            )
             cs = spark.read.parquet(args.candidate_scenario)
             out = api.candidate_ranker(
                 spark, qs, cs,
+                query=args.query,
                 artifact_path=args.pretrained_model_path,
                 ranking_metric=args.ranking_metric,
                 selection_threshold=args.selection_threshold,

@@ -88,6 +88,33 @@ def test_cli_train_and_inference_roundtrip(spark, tmp_path):
         got = spark.read.option("header", True).option("sep", "\t").csv(str(out))
         assert set(got.columns) == {"s1", "s2", "prediction", "p0", "p1", "label"}
         assert got.count() > 0
+
+        # on-the-fly ranking straight from raw strings (--query, no
+        # query store) against a vect-mode candidate store
+        from deezymatch_spark import api
+        from pyspark.sql import functions as F
+
+        cand = (
+            spark.createDataFrame(
+                [(i, s) for i, s in enumerate(["london", "paris", "berlin"])],
+                "id long, key string",
+            )
+        )
+        cand = api.inference(
+            spark, str(art), cand, inference_mode="vect", key_col="key"
+        ).select("id", "key", "key_norm", "vec")
+        cs = tmp_path / "cand_store"
+        cand.write.parquet(str(cs))
+        rout = tmp_path / "rank_out"
+        rc = cli_main([
+            "--deezy_mode", "candidate_ranker", "-cs", str(cs),
+            "-q", "London", "-f", str(art), "-o", str(rout),
+            "-rm", "faiss", "-t", "100.0", "-nc", "2",
+        ])
+        assert rc == 0
+        ranked = spark.read.parquet(str(rout))
+        assert ranked.count() > 0
+        assert {r.query_orig for r in ranked.collect()} == {"London"}
     finally:
         SparkSession.stop = real_stop
 
