@@ -619,6 +619,44 @@ def q_near_dedup_docs(spark, sf):
     ).select("doc_id")
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-keep near-dedup (operators/dedup.py:dedup_keep_best):
+    same LSH pairs + closure as near_dedup_docs, but each duplicate
+    cluster keeps its best member by (length(text) DESC, id ASC) — the
+    mutated twin carries a suffix so it outranks its original."""
+    from deezymatch_spark.operators import dedup_keep_best
+
+    return dedup_keep_best(
+        _neardup_corpus(spark, sf), "doc_id", "text", F.length("text"),
+        gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
+    ).select("doc_id")
+
+
+def q_char_entropy(spark, sf):
+    from deezymatch_spark.functions import char_entropy
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(char_entropy(F.col("text")), 6).alias("entropy_bits")
+    )
+
+
+def q_hash_sample(spark, sf):
+    from deezymatch_spark.operators import hash_sample
+
+    return hash_sample(
+        _t(spark, sf, "documents"), "doc_id", 0.25, salt="s1"
+    ).select("doc_id")
+
+
+def q_stratified_sample(spark, sf):
+    from deezymatch_spark.operators import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _t(spark, sf, "documents"), "doc_id", "lang",
+        {"en": 0.9, "de": 0.5, "zh": 0.1}, default_fraction=0.25, salt="mix",
+    ).select("doc_id", "lang")
+
+
 def q_bcubed_eval(spark, sf):
     """B-cubed cluster evaluation (operators/metrics.py:bcubed): pred =
     minhash near-dup components, truth = exact-text fingerprint groups,
@@ -945,6 +983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": q_contamination_flags,
         "pii_mask": q_pii_mask,
         "near_dedup_docs": q_near_dedup_docs,
+        "dedup_keep_best": q_dedup_keep_best,
+        "char_entropy": q_char_entropy,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "bcubed_eval": q_bcubed_eval,
         "incremental_clusters": q_incremental_clusters,
         "events_hourly": q_events_hourly,
@@ -1391,6 +1433,37 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from src
             where doc_id not in
               (select node from comp where node != component)""",
+        "dedup_keep_best": f"""
+            with recursive {neardup_ctes},
+            {closure_ctes},
+            dupd as (select src.doc_id, length(src.text) as q, comp.component
+                     from src join comp on comp.node = src.doc_id),
+            r as (select doc_id, row_number() over
+                    (partition by component order by q desc, doc_id asc) as rn
+                  from dupd),
+            keep as (select doc_id from r where rn = 1)
+            select doc_id from src where doc_id not in (select doc_id from dupd)
+            union all
+            select doc_id from keep""",
+        "char_entropy": """
+            select doc_id, round(case when length(coalesce(text,'')) = 0 then 0.0 else
+              list_reduce(list_prepend(0.0, list_transform(
+                list_sort(list_distinct(string_split(coalesce(text,''), ''))),
+                c -> case when c = '' then 0.0 else
+                  -((length(text) - length(replace(text, c, '')))::double / length(text))
+                   * log2((length(text) - length(replace(text, c, '')))::double / length(text)) end)),
+              (x,y) -> x+y) end, 6) as entropy_bits
+            from documents""",
+        "hash_sample": """
+            select doc_id from documents
+            where cast(('0x'||substr(md5('s1:'||cast(doc_id as varchar)),1,15)) as bigint)
+                  % 1000000 < 250000""",
+        "stratified_sample": """
+            select doc_id, lang from documents
+            where cast(('0x'||substr(md5('mix:'||cast(doc_id as varchar)),1,15)) as bigint)
+                  % 1000000
+                  < case lang when 'en' then 900000 when 'de' then 500000
+                              when 'zh' then 100000 else 250000 end""",
         "bcubed_eval": f"""
             with recursive {neardup_ctes},
             {closure_ctes},

@@ -22,6 +22,7 @@ from .textstats import (
     doc_fingerprint,
     lang_id,
     punct_ratio,
+    char_entropy,
     quality_score,
     repetition_stats,
     rolling_fingerprint,
@@ -40,7 +41,7 @@ __all__ = [
     "minhash_from_base", "minhash_signature", "simhash",
     "char_ngrams", "distinct_char_ngrams", "normalize_basic",
     "prefix_ngram_keys", "word_tokens",
-    "bpe_token_count", "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
+    "bpe_token_count", "char_entropy", "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
     "repetition_stats",
     "rolling_fingerprint", "stopword_ratio", "whitespace_token_count",
     "word_token_count",

@@ -24,6 +24,7 @@ __all__ = [
     "punct_ratio",
     "stopword_ratio",
     "quality_score",
+    "char_entropy",
     "repetition_stats",
     "lang_id",
     "doc_fingerprint",
@@ -99,6 +100,38 @@ def quality_score(col: Column) -> Column:
     sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
     return F.round(0.4 * length_ok + 0.4 * sw_ok + 0.2 * punct_ok, 2)
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy of the document's character distribution in
+    bits/char — the classic cheap gibberish gate (near 0 = one
+    repeated filler char, ~4.1 = English prose, ≳5.5 = base64/random
+    bytes; C4/Gopher-style pipelines band-filter on it).
+
+    Shuffle-free expression: distinct chars via 1-grams, each char's
+    count as ``length(t) − length(replace(t, c))`` (JVM string op —
+    no per-char array scan), −Σ p·log₂p as an explicit left fold over
+    the SORTED distinct chars so the float sum order is engine-
+    reproducible (same trick as the distance folds). NULL/empty → 0.
+    """
+    t = F.coalesce(col, F.lit(""))
+    n = F.length(t)
+    # bind t once (the replace() per distinct char would otherwise
+    # re-evaluate the whole upstream expression per char — trap #17)
+    def body(tt):
+        nn = F.length(tt)
+        chars = F.array_sort(F.array_distinct(F.split(tt, "")))
+        term = lambda c: (
+            (F.length(tt) - F.length(F.replace(tt, c))).cast("double") / nn
+        )
+        return F.aggregate(
+            chars,
+            F.lit(0.0),
+            lambda acc, c: F.when(c == "", acc).otherwise(
+                acc - term(c) * F.log2(term(c))
+            ),
+        )
+    return F.when(n == 0, F.lit(0.0)).otherwise(let_(t, body))
 
 
 def lang_id(col: Column) -> Column:

@@ -5,6 +5,7 @@ from .cc import connected_components
 from .dedup import (
     contaminated_docs,
     decontaminate,
+    dedup_keep_best,
     duplicated_sentences,
     embedding_dup_pairs,
     exact_dedup,
@@ -23,6 +24,7 @@ from .incremental import update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
 from .metrics import bcubed, classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
+from .sampling import hash_sample, sample_bucket, stratified_hash_sample
 from .split import train_val_test_split
 
 __all__ = [
@@ -30,6 +32,8 @@ __all__ = [
     "connected_components",
     "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
+    "dedup_keep_best",
+    "hash_sample", "stratified_hash_sample", "sample_bucket",
     "contaminated_docs", "decontaminate",
     "duplicated_sentences", "sentence_dedup", "simhash_dup_pairs",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",

@@ -313,6 +313,63 @@ def near_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col,
+    *,
+    method: str = "minhash",
+    **kwargs,
+) -> DataFrame:
+    """Near-dedup keeping the BEST document per duplicate cluster
+    instead of the min-id one: rank cluster members by
+    (``quality_col`` DESC, id ASC — the deterministic tie-break) and
+    keep rank 1. The curation-grade variant of :func:`near_dedup` —
+    when a boilerplate page and its well-formatted twin collide, the
+    corpus should keep the higher-quality copy, not whichever id
+    happened to hash lower (e.g. pass ``quality_score(text)`` or
+    ``char_entropy(text)``).
+
+    ``quality_col``: a Column expression or column name evaluated on
+    ``df``'s rows.
+
+    Scale shape: the pair/closure stages are identical to
+    :func:`near_dedup` (bucketed LSH joins, O(cells) closure). The
+    ranking joins the component map (≤ one row per DUPLICATED doc —
+    Zipf-small vs the corpus) back to the corpus as a broadcast-able
+    side, and only duplicated docs enter the rank-1 window; unique
+    docs never shuffle.
+    """
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    if method == "minhash":
+        pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_dup_pairs(df, id_col, text_col, **kwargs)
+    else:
+        raise ValueError(f"unknown near-dedup method: {method!r}")
+    comps = connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    # only docs that appear in some duplicate cluster carry a component;
+    # every other row bypasses the window entirely
+    dupd = df.join(
+        comps.withColumnRenamed("node", id_col), id_col, "inner"
+    ).withColumn("_q", q)
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    keep_dup = (
+        dupd.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_q", "component")
+    )
+    uniq = df.join(
+        comps.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    )
+    return uniq.unionByName(keep_dup)
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -347,8 +347,12 @@ def incremental_er(
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
     old = jvm.org.apache.hadoop.fs.Path(clusters_path + "_old")
     fs.delete(old, True)  # stale _old from a crash after a completed swap
-    fs.rename(hp, old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(next_path), hp)
+    # Hadoop rename reports failure by RETURNING false, not raising —
+    # ignoring it here would silently serve the stale cluster table
+    if not fs.rename(hp, old):
+        raise RuntimeError(f"cluster swap: rename {clusters_path} -> _old failed")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(next_path), hp):
+        raise RuntimeError(f"cluster swap: rename {next_path} -> clusters failed")
     fs.delete(old, True)
     return _er_assignment(docs_all, spark.read.parquet(clusters_path))
 
@@ -370,11 +374,13 @@ def _finish_cluster_swap(spark: SparkSession, clusters_path: str) -> None:
     old = jvm.org.apache.hadoop.fs.Path(clusters_path + "_old")
     if _is_done(spark, clusters_path + "_next"):
         fs.delete(hp, True)  # partial/un-stamped clusters dir, if any
-        fs.rename(nxt, hp)
+        if not fs.rename(nxt, hp):
+            raise RuntimeError(f"swap recovery: rename _next -> {clusters_path} failed")
         fs.delete(old, True)
     elif _is_done(spark, clusters_path + "_old"):
         fs.delete(hp, True)
-        fs.rename(old, hp)
+        if not fs.rename(old, hp):
+            raise RuntimeError(f"swap recovery: rename _old -> {clusters_path} failed")
         fs.delete(nxt, True)
 
 

@@ -270,3 +270,28 @@ def test_decontamination(spark):
     kept = sorted(r.doc_id for r in
                   decontaminate(docs, bench, "doc_id", "text", n=13).collect())
     assert kept == [2, 3]
+
+
+def test_dedup_keep_best_keeps_highest_quality(spark):
+    from deezymatch_spark.operators import dedup_keep_best, near_dedup
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again ok",
+        2: "the quick brown fox jumps over the lazy dog again and again ok PLUS MORE",
+        3: "completely unrelated text about distributed query engines here",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    kw = dict(gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3,
+              max_block_size=500)
+    kept = {r.doc_id for r in
+            dedup_keep_best(df, "doc_id", "text", F.length("text"), **kw).collect()}
+    # doc 2 is the longer (higher-quality) member of the {1,2} cluster;
+    # min-id near_dedup would keep doc 1 instead
+    assert kept == {2, 3}
+    min_id = {r.doc_id for r in near_dedup(df, "doc_id", "text", **kw).collect()}
+    assert min_id == {1, 3}
+    # schema passes through unchanged
+    out = dedup_keep_best(df, "doc_id", "text", F.length("text"), **kw)
+    assert out.columns == df.columns

@@ -103,3 +103,57 @@ def test_pii_masking(spark):
     assert got[2] == ("server at [IP] and [IP].", 0, 2, 0)
     assert got[3] == ("call [PHONE] or [PHONE] now", 0, 0, 2)
     assert got[4] == ("no pii here at all", 0, 0, 0)
+
+
+def test_char_entropy_known_values(spark):
+    from deezymatch_spark.functions import char_entropy
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.e
+        for r in df.select(
+            "doc_id", F.round(char_entropy(F.col("text")), 9).alias("e")
+        ).collect()
+    }
+    assert got[1] == 0.0          # single repeated char
+    assert got[2] == 1.0          # two equiprobable chars = 1 bit
+    assert got[3] == 2.0          # four equiprobable chars = 2 bits
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from deezymatch_spark.operators import hash_sample, stratified_hash_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s20 = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).collect()}
+    # deterministic under repartitioning (df.sample can't promise this)
+    s20b = {
+        r.doc_id for r in hash_sample(d.repartition(13), "doc_id", 0.2).collect()
+    }
+    assert s20 == s20b
+    # nested across fractions at the same salt; independent salts differ
+    s40 = {r.doc_id for r in hash_sample(d, "doc_id", 0.4).collect()}
+    assert s20 <= s40
+    other = {r.doc_id for r in hash_sample(d, "doc_id", 0.2, salt="x").collect()}
+    assert other != s20
+    # rate lands near the target
+    assert 0.1 < len(s40) / d.count() < 0.7
+
+    strat = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 1.0, "zh": 0.0}, default_fraction=0.2
+    )
+    by_lang = {
+        r.lang: r.n
+        for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_en = d.where(F.col("lang") == "en").count()
+    assert by_lang.get("en") == n_en      # fraction 1.0 keeps everything
+    assert "zh" not in by_lang            # fraction 0.0 drops everything
+
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        hash_sample(d, "doc_id", 1.5)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        stratified_hash_sample(d, "doc_id", "lang", {"en": -0.1})
