@@ -657,6 +657,25 @@ def q_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_substring_dup_spans(spark, sf):
+    """Lee-et-al ExactSubstr detection (word-gram-hash form): every
+    position whose 13-word gram repeats corpus-wide, over the mutated
+    near-dup corpus (twins share almost all grams)."""
+    from deezymatch_spark.operators import substring_dup_spans
+
+    return substring_dup_spans(
+        _neardup_corpus(spark, sf), "doc_id", "text", n=13
+    )
+
+
+def q_substring_dup_stats(spark, sf):
+    from deezymatch_spark.operators import substring_dup_stats
+
+    return substring_dup_stats(
+        _neardup_corpus(spark, sf), "doc_id", "text", n=13
+    )
+
+
 def q_bcubed_eval(spark, sf):
     """B-cubed cluster evaluation (operators/metrics.py:bcubed): pred =
     minhash near-dup components, truth = exact-text fingerprint groups,
@@ -984,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": q_pii_mask,
         "near_dedup_docs": q_near_dedup_docs,
         "dedup_keep_best": q_dedup_keep_best,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_dup_stats": q_substring_dup_stats,
         "char_entropy": q_char_entropy,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1445,6 +1466,46 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from src where doc_id not in (select doc_id from dupd)
             union all
             select doc_id from keep""",
+        "substring_dup_spans": f"""
+            with src as (
+              select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
+              union all
+              select doc_id + 1000000, text || ' near duplicate suffix'
+              from documents where doc_id < {NEARDUP_LIMIT}),
+            d as (select doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') as w
+                  from src),
+            g as (select doc_id,
+                    unnest(generate_series(1, greatest(len(w) - 12, 0))) as pos,
+                    unnest(list_transform(generate_series(1, greatest(len(w) - 12, 0)),
+                      i -> {_D_MD5.format(x="array_to_string(w[i:i+12], ' ')")})) as gram_hash
+                  from d),
+            dup as (select gram_hash from g group by 1 having count(*) >= 2)
+            select g.doc_id, g.pos, g.gram_hash from g join dup using (gram_hash)""",
+        "substring_dup_stats": f"""
+            with src as (
+              select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
+              union all
+              select doc_id + 1000000, text || ' near duplicate suffix'
+              from documents where doc_id < {NEARDUP_LIMIT}),
+            d as (select doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') as w
+                  from src),
+            g as (select doc_id,
+                    unnest(list_transform(generate_series(1, greatest(len(w) - 12, 0)),
+                      i -> {_D_MD5.format(x="array_to_string(w[i:i+12], ' ')")})) as gram_hash
+                  from d),
+            dup as (select gram_hash from g group by 1 having count(*) >= 2),
+            g2 as (select g.doc_id,
+                     case when dup.gram_hash is not null then 1 else 0 end as isdup
+                   from g left join dup using (gram_hash)),
+            cnt as (select doc_id, count(*) as n, sum(isdup) as d from g2 group by 1)
+            select s.doc_id,
+              cast(coalesce(cnt.n, 0) as bigint) as n_grams,
+              cast(coalesce(cnt.d, 0) as bigint) as n_dup_grams,
+              cast((coalesce(cnt.d, 0) * 1000000) // greatest(coalesce(cnt.n, 0), 1) as bigint)
+                as dup_frac_micro
+            from src s left join cnt on cnt.doc_id = s.doc_id""",
         "char_entropy": """
             select doc_id, round(case when length(coalesce(text,'')) = 0 then 0.0 else
               list_reduce(list_prepend(0.0, list_transform(

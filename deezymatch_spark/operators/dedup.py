@@ -507,6 +507,96 @@ def contaminated_docs(
     return hits
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated exact-substring spans at word
+    granularity — the detection half of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr, arXiv:2107.06499), which found memorized 50-token
+    spans repeat verbatim across web corpora even when documents are
+    not near-duplicates.
+
+    → [<id_col>, pos, gram_hash]: every 1-based word position whose
+    ``n``-word gram occurs ≥ ``min_count`` times corpus-wide (their
+    suffix-array threshold, here as a gram-hash count — hash
+    granularity trades the suffix array's arbitrary-length matches for
+    a two-shuffle DataFrame plan).
+
+    Scale shape: one map-combinable count over 8-byte gram hashes
+    (never the gram text), then the positions stream semi-joins the
+    duplicated-hash set — Zipf-small next to the corpus, so AQE
+    broadcasts it and the corpus side shuffles only its own count
+    aggregation. No UDFs.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngram_hashes(F.col(text_col), n)).alias(
+            "pos0", "gram_hash"
+        ),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gram_hash")
+    dup = (
+        grams.groupBy("gram_hash")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("gram_hash")
+    )
+    return grams.join(dup, "gram_hash", "left_semi").select(
+        id_col, "pos", "gram_hash"
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring exposure — the filterable
+    form of :func:`substring_dup_spans` (Gopher/Dolma-style gate:
+    drop or down-weight docs whose text is mostly memorized spans).
+
+    → [<id_col>, n_grams, n_dup_grams, dup_frac_micro] for EVERY input
+    row (docs shorter than ``n`` words report 0/0/0);
+    ``dup_frac_micro`` = exact bigint (n_dup·10⁶) div n_grams, the
+    cross-engine-stable integer form used by the other micro metrics.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("gram_hash"),
+    )
+    dup = (
+        grams.where(F.col("gram_hash").isNotNull())
+        .groupBy("gram_hash")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("gram_hash", F.lit(1).alias("_dup"))
+    )
+    return (
+        grams.join(dup, "gram_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram_hash").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.expr(
+                "(n_dup_grams * 1000000) div greatest(n_grams, 1)"
+            ).alias("dup_frac_micro"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

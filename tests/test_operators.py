@@ -295,3 +295,32 @@ def test_dedup_keep_best_keeps_highest_quality(spark):
     # schema passes through unchanged
     out = dedup_keep_best(df, "doc_id", "text", F.length("text"), **kw)
     assert out.columns == df.columns
+
+
+def test_substring_dup_spans_and_stats(spark):
+    from deezymatch_spark.operators import substring_dup_spans, substring_dup_stats
+
+    span = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    rows = [
+        (1, span + " unique tail alpha beta gamma"),
+        (2, "different head words here then " + span),
+        (3, "no repeated material in this document at all whatsoever today"),
+        (4, "short doc"),  # under n words -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = substring_dup_spans(df, "doc_id", "text", n=13).collect()
+    # the planted 13-word span starts at word 1 in doc 1, word 6 in doc 2
+    assert {(r.doc_id, r.pos) for r in spans} >= {(1, 1), (2, 6)}
+    assert all(r.doc_id in (1, 2) for r in spans)
+    # the shared gram hashes agree across the two docs
+    h1 = {r.gram_hash for r in spans if r.doc_id == 1}
+    h2 = {r.gram_hash for r in spans if r.doc_id == 2}
+    assert h1 & h2
+
+    stats = {r.doc_id: r for r in
+             substring_dup_stats(df, "doc_id", "text", n=13).collect()}
+    assert sorted(stats) == [1, 2, 3, 4]           # every row survives
+    assert stats[4].n_grams == 0 and stats[4].dup_frac_micro == 0
+    assert stats[3].n_dup_grams == 0
+    assert stats[1].n_dup_grams == 1 and stats[2].n_dup_grams == 1
+    assert stats[1].dup_frac_micro == (1 * 1_000_000) // stats[1].n_grams
