@@ -47,6 +47,23 @@ def main() -> None:
     ap.add_argument("--sentence-min-count", type=int, default=0,
                     help="strip sentences duplicated >= N times corpus-wide "
                          "(0 = skip the sentence stage)")
+    ap.add_argument("--sample-fraction", type=float, default=None,
+                    help="deterministic hash-subsample rate applied "
+                         "before any dedup stage (also the default "
+                         "rate under --sample-strata-col)")
+    ap.add_argument("--sample-salt", default="dzm",
+                    help="sampling salt; distinct salts draw "
+                         "independent samples")
+    ap.add_argument("--sample-strata-col", default=None,
+                    help="stratify sampling by this column (domain "
+                         "mixing); rates via --sample-rates")
+    ap.add_argument("--sample-rates", nargs="*", default=None,
+                    metavar="STRATUM=FRACTION",
+                    help="per-stratum rates, e.g. en=0.9 de=0.5")
+    ap.add_argument("--keep-best", choices=["length", "quality", "entropy"],
+                    default=None,
+                    help="near-dedup keeps the best cluster member by "
+                         "this signal instead of the min id")
     ap.add_argument("--sentence-hash-key", action="store_true",
                     help="key the sentence-dedup shuffle on a 128-bit "
                          "hash instead of raw sentence text (scale path)")
@@ -90,6 +107,22 @@ def main() -> None:
             ap.error("--num-bits must be divisible by --bands")
         if args.bands <= args.hamming_max:
             ap.error("--bands must exceed --hamming-max (pigeonhole recall)")
+    if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
+        ap.error("--sample-fraction must be in [0, 1]")
+    if args.sample_rates and not args.sample_strata_col:
+        ap.error("--sample-rates requires --sample-strata-col")
+    if args.sample_strata_col and args.sample_fraction is None:
+        ap.error("--sample-strata-col needs --sample-fraction as the "
+                 "default rate for unlisted strata")
+    for pair in args.sample_rates or []:
+        k, _, v = pair.partition("=")
+        try:
+            ok = k and 0.0 <= float(v) <= 1.0
+        except ValueError:
+            ok = False
+        if not ok:
+            ap.error(f"bad --sample-rates entry {pair!r} "
+                     "(want STRATUM=FRACTION with fraction in [0, 1])")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -107,9 +140,12 @@ def main() -> None:
 
     from deezymatch_spark.operators import (
         decontaminate,
+        dedup_keep_best,
         exact_dedup,
+        hash_sample,
         near_dedup,
         sentence_dedup,
+        stratified_hash_sample,
         url_dedup,
     )
 
@@ -133,6 +169,25 @@ def main() -> None:
         return d
 
     df = checkpoint("input_rows", df)
+
+    # deterministic subsample FIRST — the cheapest stage and the one
+    # that shrinks everything downstream; hash-based so a retried or
+    # repartitioned run keeps the identical rows
+    if args.sample_fraction is not None:
+        if args.sample_strata_col:
+            rates = dict(
+                (k, float(v))
+                for k, v in (p.split("=") for p in (args.sample_rates or []))
+            )
+            df = stratified_hash_sample(
+                df, args.id_col, args.sample_strata_col, rates,
+                default_fraction=args.sample_fraction, salt=args.sample_salt,
+            )
+        else:
+            df = hash_sample(
+                df, args.id_col, args.sample_fraction, salt=args.sample_salt
+            )
+        df = checkpoint("after_sample", df)
 
     if args.url_col:
         df = checkpoint(
@@ -204,14 +259,38 @@ def main() -> None:
                 bands=args.bands,
                 hamming_max=args.hamming_max,
             )
-        df = near_dedup(
-            df,
-            args.id_col,
-            args.text_col,
-            method=args.near_method,
-            max_block_size=args.max_block_size,
-            **kw,
-        )
+        if args.keep_best:
+            quality = {
+                "length": F.length(F.col(args.text_col)),
+                "quality": None,  # resolved below (lazy import)
+                "entropy": None,
+            }[args.keep_best]
+            if quality is None:
+                from deezymatch_spark.functions import char_entropy, quality_score
+
+                quality = (
+                    quality_score(F.col(args.text_col))
+                    if args.keep_best == "quality"
+                    else char_entropy(F.col(args.text_col))
+                )
+            df = dedup_keep_best(
+                df,
+                args.id_col,
+                args.text_col,
+                quality,
+                method=args.near_method,
+                max_block_size=args.max_block_size,
+                **kw,
+            )
+        else:
+            df = near_dedup(
+                df,
+                args.id_col,
+                args.text_col,
+                method=args.near_method,
+                max_block_size=args.max_block_size,
+                **kw,
+            )
 
     df.write.mode("overwrite").parquet(args.output)
     metrics["output_rows"] = spark.read.parquet(args.output).count()

@@ -117,6 +117,10 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             # benchmark text actually flags it
             "--benchmark", benchd, "--decontam-ngram", "8",
             "--mask-pii",
+            # sampling stage at fraction 1.0 (keeps all — exercises the
+            # stage) and quality-keep near dedup (longer text wins)
+            "--sample-fraction", "1.0", "--sample-salt", "ship",
+            "--keep-best", "length",
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
@@ -124,8 +128,29 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     line = next(l for l in res.stdout.splitlines() if l.startswith('{"job"'))
     metrics = json.loads(line)
     assert metrics["input_rows"] == 6
+    assert metrics["after_sample"] == 6
     assert metrics["after_url_dedup"] == 5
     assert metrics["after_exact_dedup"] == 4
     assert metrics["benchmark_grams"] > 0
     assert metrics["after_decontamination"] == 3  # doc 6 quoted the benchmark
     assert metrics["output_rows"] == 2
+    # keep-best: the {3,5} near-dup cluster keeps 5 (longer text), not min-id 3
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(outd).select("doc_id").collect()
+    )
+    assert kept == [2, 5]
+
+
+def test_sampling_and_keep_best_stage_chain(spark):
+    from deezymatch_spark.operators import dedup_keep_best, hash_sample
+
+    df = _corpus(spark)
+    assert hash_sample(df, "doc_id", 1.0).count() == 6
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
+
+    kb = dedup_keep_best(
+        df.where("doc_id in (3, 5, 6)"), "doc_id", "text", F.length("text"),
+        gram=5, num_hashes=16, bands=8, jaccard_threshold=0.8,
+        max_block_size=500,
+    )
+    assert sorted(r.doc_id for r in kb.select("doc_id").collect()) == [5, 6]
