@@ -676,6 +676,14 @@ def q_substring_dup_stats(spark, sf):
     )
 
 
+def q_substring_dedup(spark, sf):
+    """ExactSubstr removal: words covered by any corpus-duplicated
+    13-gram are cut and the text rebuilt (word-granularity)."""
+    from deezymatch_spark.operators import substring_dedup
+
+    return substring_dedup(_neardup_corpus(spark, sf), "doc_id", "text", n=13)
+
+
 def q_bcubed_eval(spark, sf):
     """B-cubed cluster evaluation (operators/metrics.py:bcubed): pred =
     minhash near-dup components, truth = exact-text fingerprint groups,
@@ -1005,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dup_stats": q_substring_dup_stats,
+        "substring_dedup": q_substring_dedup,
         "char_entropy": q_char_entropy,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1506,6 +1515,35 @@ def oracle_sql() -> dict[str, str]:
               cast((coalesce(cnt.d, 0) * 1000000) // greatest(coalesce(cnt.n, 0), 1) as bigint)
                 as dup_frac_micro
             from src s left join cnt on cnt.doc_id = s.doc_id""",
+        "substring_dedup": f"""
+            with src as (
+              select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}
+              union all
+              select doc_id + 1000000, text || ' near duplicate suffix'
+              from documents where doc_id < {NEARDUP_LIMIT}),
+            d as (select doc_id,
+                    list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') as w
+                  from src),
+            g as (select doc_id,
+                    unnest(generate_series(1, greatest(len(w) - 12, 0))) as pos,
+                    unnest(list_transform(generate_series(1, greatest(len(w) - 12, 0)),
+                      i -> {_D_MD5.format(x="array_to_string(w[i:i+12], ' ')")})) as gram_hash
+                  from d),
+            dup as (select gram_hash from g group by 1 having count(*) >= 2),
+            dsp as (select doc_id, list_sort(list(pos)) as ps
+                    from g join dup using (gram_hash) group by doc_id),
+            sel as (select d.doc_id, d.w, coalesce(dsp.ps, []) as ps
+                    from d left join dsp using (doc_id)),
+            k as (select doc_id, w,
+                    list_filter(generate_series(1, len(w)),
+                      j -> len(list_filter(ps, p -> j >= p and j < p + 13)) = 0) as keep
+                  from sel)
+            select doc_id,
+              coalesce(array_to_string(list_transform(keep, j -> w[j]), ' '), '')
+                as clean_text,
+              cast(len(w) as bigint) as n_words,
+              cast(len(w) - len(keep) as bigint) as n_removed_words
+            from k""",
         "char_entropy": """
             select doc_id, round(case when length(coalesce(text,'')) = 0 then 0.0 else
               list_reduce(list_prepend(0.0, list_transform(

@@ -16,6 +16,7 @@ from .dedup import (
     ngram_jaccard,
     sentence_dedup,
     simhash_dup_pairs,
+    substring_dedup,
     substring_dup_spans,
     substring_dup_stats,
     url_dedup,
@@ -38,7 +39,7 @@ __all__ = [
     "hash_sample", "stratified_hash_sample", "sample_bucket",
     "contaminated_docs", "decontaminate",
     "duplicated_sentences", "sentence_dedup", "simhash_dup_pairs",
-    "substring_dup_spans", "substring_dup_stats",
+    "substring_dedup", "substring_dup_spans", "substring_dup_stats",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",
     "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",

@@ -19,7 +19,8 @@ from ..functions.hashing import (
     minhash_from_base,
     simhash,
 )
-from ..functions.ngrams import distinct_char_ngrams, normalize_basic
+from ..functions.expr import let_
+from ..functions.ngrams import distinct_char_ngrams, lower_ws_words, normalize_basic
 from ..functions.textstats import doc_fingerprint
 from ..functions.urls import canonical_url
 from .cc import connected_components
@@ -594,6 +595,78 @@ def substring_dup_stats(
                 "(n_dup_grams * 1000000) div greatest(n_grams, 1)"
             ).alias("dup_frac_micro"),
         )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove corpus-duplicated exact substrings from every document —
+    the removal half of Lee et al. 2022 ExactSubstr (arXiv:2107.06499):
+    every word covered by ANY duplicated ``n``-word gram is cut, and
+    the survivors are rejoined with single spaces (word-granularity
+    text; the original whitespace inside removed spans is gone by
+    construction).
+
+    → [<id_col>, clean_text, n_words, n_removed_words] for every input
+    row (docs with no duplicated span pass through with their
+    whitespace-normalized text and ``n_removed_words = 0``).
+
+    Plan: :func:`substring_dup_spans` (one map-combined count +
+    broadcast semi-join) → per-doc duplicated-position list (shuffles
+    only SPAN rows, bounded by the duplicated docs) → join back to the
+    corpus as a LEFT join, coverage evaluated as a pure expression
+    (``exists`` over the span list per word index — O(|spans|·|words|)
+    per affected doc, zero Python).
+    """
+    spans = substring_dup_spans(
+        df, id_col, text_col, n=n, min_count=min_count
+    )
+    dup_pos = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_dup_pos")
+    )
+    words = lower_ws_words(F.coalesce(F.col(text_col), F.lit("")))
+
+    def clean(w: F.Column) -> F.Column:
+        pos = F.coalesce(
+            F.col("_dup_pos"), F.array().cast("array<int>")
+        )
+        kept = F.filter(
+            F.zip_with(
+                w,
+                F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1))),
+                lambda word, j: F.struct(
+                    word.alias("w"),
+                    (
+                        ~F.exists(pos, lambda p: (j >= p) & (j < p + n))
+                    ).alias("keep"),
+                ),
+            ),
+            lambda s: s["keep"],
+        )
+        return F.transform(kept, lambda s: s["w"])
+
+    out = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .join(dup_pos, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_w"),
+            F.when(
+                F.size("_w") == 0, F.array().cast("array<string>")
+            ).otherwise(let_(F.col("_w"), clean)).alias("_kept"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join("_kept", " ").alias("clean_text"),
+        F.size("_w").cast("long").alias("n_words"),
+        (F.size("_w") - F.size("_kept")).cast("long").alias("n_removed_words"),
     )
 
 

@@ -324,3 +324,28 @@ def test_substring_dup_spans_and_stats(spark):
     assert stats[3].n_dup_grams == 0
     assert stats[1].n_dup_grams == 1 and stats[2].n_dup_grams == 1
     assert stats[1].dup_frac_micro == (1 * 1_000_000) // stats[1].n_grams
+
+
+def test_substring_dedup_removes_covered_words(spark):
+    from deezymatch_spark.operators import substring_dedup
+
+    span = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    rows = [
+        (1, span + " tail alpha"),
+        (2, "head words only then " + span),
+        (3, "independent document body with no repeats at all in sight today"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_dedup(df, "doc_id", "text", n=13).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    # the shared 13-word span is cut from both docs; surroundings survive
+    assert out[1].clean_text == "tail alpha"
+    assert (out[1].n_words, out[1].n_removed_words) == (15, 13)
+    assert out[2].clean_text == "head words only then"
+    assert (out[2].n_words, out[2].n_removed_words) == (17, 13)
+    # untouched doc: whitespace-normalized lowercase text, zero removed
+    assert out[3].clean_text == rows[2][1]
+    assert out[3].n_removed_words == 0
+    assert out[4].clean_text == "" and out[4].n_words == 0
