@@ -5,6 +5,10 @@ Chains the corpus-hygiene operators a 100 TB training-data build runs
 before anything touches a tokenizer, in increasing cost order so each
 stage shrinks the next stage's input:
 
+  0. subsample        — deterministic hash sample / stratified domain
+                        mixing (--sample-fraction [--sample-strata-col
+                        --sample-rates]); first because it shrinks
+                        every later stage
   1. URL dedup        — canonicalize, keep the latest crawl snapshot
                         per canonical URL (skipped without --url-col)
   2. PII masking      — emails/IPv4/phone runs → typed placeholders
@@ -13,10 +17,13 @@ stage shrinks the next stage's input:
   3. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
   4. sentence dedup   — strip corpus-duplicated boilerplate sentences
                         (cookie banners, nav bars, footers)
-  5. decontamination  — drop docs sharing a 13-word-gram with any
+  5. substring dedup  — ExactSubstr removal of corpus-duplicated
+                        n-word-gram spans (--substring-ngram)
+  6. decontamination  — drop docs sharing a 13-word-gram with any
                         benchmark text (skipped without --benchmark)
-  6. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
-                        verify → connected components → keep cluster min-id
+  7. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
+                        verify → connected components → keep cluster
+                        min-id, or the best member by --keep-best
 
 Ship + run:
 
@@ -67,6 +74,13 @@ def main() -> None:
     ap.add_argument("--sentence-hash-key", action="store_true",
                     help="key the sentence-dedup shuffle on a 128-bit "
                          "hash instead of raw sentence text (scale path)")
+    ap.add_argument("--substring-ngram", type=int, default=0,
+                    help="enable ExactSubstr removal (Lee et al. 2022) "
+                         "at this n-word gram size; words covered by a "
+                         "corpus-duplicated gram are cut (0 = off)")
+    ap.add_argument("--substring-min-count", type=int, default=2,
+                    help="corpus occurrence threshold for a gram to "
+                         "count as duplicated")
     ap.add_argument("--mask-pii", action="store_true",
                     help="scrub emails/IPv4/phone runs to typed placeholders "
                          "before dedup")
@@ -107,6 +121,10 @@ def main() -> None:
             ap.error("--num-bits must be divisible by --bands")
         if args.bands <= args.hamming_max:
             ap.error("--bands must exceed --hamming-max (pigeonhole recall)")
+    if args.substring_ngram < 0:
+        ap.error("--substring-ngram must be >= 0")
+    if args.substring_ngram > 0 and args.substring_min_count < 2:
+        ap.error("--substring-min-count must be >= 2")
     if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
         ap.error("--sample-fraction must be in [0, 1]")
     if args.sample_rates and not args.sample_strata_col:
@@ -213,6 +231,25 @@ def main() -> None:
             .join(cleaned.where(F.col("n_kept") > 0), args.id_col)
             .withColumnRenamed("clean_text", args.text_col)
             .drop("n_kept", "n_removed"),
+        )
+
+    if args.substring_ngram > 0:
+        from deezymatch_spark.operators import substring_dedup
+
+        cleaned = substring_dedup(
+            df, args.id_col, args.text_col,
+            n=args.substring_ngram, min_count=args.substring_min_count,
+        )
+        # swap in the span-stripped text; drop docs emptied out entirely
+        df = checkpoint(
+            "after_substring_dedup",
+            df.drop(args.text_col)
+            .join(
+                cleaned.where(F.col("n_words") > F.col("n_removed_words")),
+                args.id_col,
+            )
+            .withColumnRenamed("clean_text", args.text_col)
+            .drop("n_words", "n_removed_words"),
         )
 
     if args.benchmark:

@@ -141,6 +141,32 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     assert kept == [2, 5]
 
 
+def test_substring_stage_rewrites_text(spark):
+    from deezymatch_spark.operators import substring_dedup
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    rows = [
+        (1, span + " unique one tail"),
+        (2, "prefix words go here " + span),
+        (3, "standalone page content with nothing repeated anywhere else today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = substring_dedup(df, "doc_id", "text", n=13)
+    out = (
+        df.drop("text")
+        .join(
+            cleaned.where(F.col("n_words") > F.col("n_removed_words")), "doc_id"
+        )
+        .withColumnRenamed("clean_text", "text")
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == {
+        1: "unique one tail",
+        2: "prefix words go here",
+        3: rows[2][1],
+    }
+
+
 def test_sampling_and_keep_best_stage_chain(spark):
     from deezymatch_spark.operators import dedup_keep_best, hash_sample
 
