@@ -967,9 +967,12 @@ def q_pipeline_entity_clusters(spark, sf):
 
     st = er_stages(_er_pages_from_docs(spark, sf), spark=spark)
     w = Window.partitionBy("entity_id")
-    out = st["clusters"].select("url", F.min("url").over(w).alias("entity"))
-    st["release"]()
-    return out
+    # deliberately NO st["release"]() here: the returned plan is lazy
+    # and still depends on the persisted docs frame — releasing before
+    # the driver collects would recompute the Python source + NFKD UDF
+    # branch per consumer (the exact recompute the persist exists to
+    # stop). The pinned cache is 1k rows and dies with the session.
+    return st["clusters"].select("url", F.min("url").over(w).alias("entity"))
 
 
 # ---------------------------------------------------------------- contract
@@ -1522,12 +1525,13 @@ def oracle_sql() -> dict[str, str]:
               select doc_id + 1000000, text || ' near duplicate suffix'
               from documents where doc_id < {NEARDUP_LIMIT}),
             d as (select doc_id,
-                    list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') as w
+                    list_filter(string_split_regex(coalesce(text,''), '\\s+'), x -> x <> '') as w,
+                    list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') as wl
                   from src),
             g as (select doc_id,
-                    unnest(generate_series(1, greatest(len(w) - 12, 0))) as pos,
-                    unnest(list_transform(generate_series(1, greatest(len(w) - 12, 0)),
-                      i -> {_D_MD5.format(x="array_to_string(w[i:i+12], ' ')")})) as gram_hash
+                    unnest(generate_series(1, greatest(len(wl) - 12, 0))) as pos,
+                    unnest(list_transform(generate_series(1, greatest(len(wl) - 12, 0)),
+                      i -> {_D_MD5.format(x="array_to_string(wl[i:i+12], ' ')")})) as gram_hash
                   from d),
             dup as (select gram_hash from g group by 1 having count(*) >= 2),
             dsp as (select doc_id, list_sort(list(pos)) as ps

@@ -633,11 +633,19 @@ class candidate_ranker_init:
         """Update-and-keep semantics ≙ candidateRanker.py:105-140:
         falsy args leave the stored value; the calc_* flags are
         REASSIGNED from their (default-False) argument every call —
-        the reference's documented quirk, kept for parity."""
+        the reference's documented quirk, kept for parity.
+
+        One deliberate deviation: passing ``queries=`` WITHOUT
+        ``query`` clears the stored raw-string query, so the next
+        ``rank()`` really uses the new store (in the reference, the
+        ``query`` branch takes precedence forever once set — a
+        stale-results footgun with no way back)."""
         if query:
             self.query = query
         if queries is not None:
             self.queries = queries
+            if not query:
+                self.query = None
         if ranking_metric:
             self.ranking_metric = ranking_metric
         if selection_threshold:

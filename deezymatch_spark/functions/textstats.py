@@ -127,8 +127,10 @@ def char_entropy(col: Column) -> Column:
         return F.aggregate(
             chars,
             F.lit(0.0),
+            # bind p once per char (term() scans the whole string via
+            # replace(); using it twice doubles the per-row work)
             lambda acc, c: F.when(c == "", acc).otherwise(
-                acc - term(c) * F.log2(term(c))
+                acc - let_(term(c), lambda p: p * F.log2(p))
             ),
         )
     return F.when(n == 0, F.lit(0.0)).otherwise(let_(t, body))

@@ -609,9 +609,12 @@ def substring_dedup(
     """Remove corpus-duplicated exact substrings from every document —
     the removal half of Lee et al. 2022 ExactSubstr (arXiv:2107.06499):
     every word covered by ANY duplicated ``n``-word gram is cut, and
-    the survivors are rejoined with single spaces (word-granularity
-    text; the original whitespace inside removed spans is gone by
-    construction).
+    the survivors are rejoined with single spaces. Duplicate DETECTION
+    is case-insensitive (lowercased grams, matching the other dedup
+    operators); the rebuilt text keeps each surviving word's ORIGINAL
+    case — only whitespace is normalized (runs collapse to single
+    spaces; word-granularity op, the exact bytes inside removed spans
+    are gone by construction).
 
     → [<id_col>, clean_text, n_words, n_removed_words] for every input
     row (docs with no duplicated span pass through with their
@@ -630,7 +633,12 @@ def substring_dedup(
     dup_pos = spans.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("_dup_pos")
     )
-    words = lower_ws_words(F.coalesce(F.col(text_col), F.lit("")))
+    # original-case tokens for the rebuild; positions align with the
+    # lowercased gram stream because lower() commutes with the \s+ split
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+", -1),
+        lambda x: x != "",
+    )
 
     def clean(w: F.Column) -> F.Column:
         pos = F.coalesce(

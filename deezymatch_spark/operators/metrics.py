@@ -94,8 +94,9 @@ def classification_metrics(
     of float formatting or HALF_UP-vs-HALF_EVEN `round()` semantics
     (same trick as ``bcubed(scaled=True)``). F1 uses its closed form
     ``(2·tp·10⁶) div (2·tp+fp+fn)`` so no precision/recall
-    intermediates exist to lose bits. Exact up to ~9.2e12 rows
-    (n·10⁶ < 2⁶³)."""
+    intermediates exist to lose bits. Exact while every numerator
+    stays under 2⁶³ — up to ~4.6e12 true positives (the f1 term
+    2·tp·10⁶ binds first) / ~9.2e12 total rows."""
     y = F.col(label_col).cast("int")
     p = F.col(pred_col).cast("int")
     agg = df.agg(
@@ -164,9 +165,10 @@ def bcubed(
     is computed as the exact bigint ``(n_pt² · 10¹²) div n_p`` so the
     sum is order-independent (float sums differ in the last ulp between
     engines and can tip a 6-dp rounding — round 1's only red oracle
-    cell). Exact-integer mode needs n_pt²·10¹² < 2⁶³, i.e. item counts
-    up to ~3M — it is the small-scale *verification* form; production
-    calls use the default double path.
+    cell). Exact-integer mode needs n_pt²·10¹² < 2⁶³, i.e. every
+    contingency CELL at most 3,037 items (floor(sqrt(2⁶³/10¹²)));
+    larger cells raise. It is the small-scale *verification* form;
+    production calls use the default double path.
     """
     cells = (
         df.select(
@@ -181,11 +183,12 @@ def bcubed(
     n_t = cells.groupBy("truth").agg(F.sum("n_pt").alias("n_t"))
     j = cells.join(n_p, "pred").join(n_t, "truth")
     if scaled:
-        # enforce the documented exact-integer range: n_pt²·10¹² must
-        # stay under 2⁶³ or the long silently wraps (ANSI off) and the
-        # micros are garbage — fail loudly instead (runs inside the
-        # same aggregation, no extra job)
-        lim = 3_037_000
+        # enforce the exact-integer range: n_pt²·10¹² must stay under
+        # 2⁶³ or the long silently wraps (ANSI off) and the micros are
+        # garbage — fail loudly instead (runs inside the same
+        # aggregation, no extra job). floor(sqrt(2⁶³/10¹²)) = 3037:
+        # scaled mode really is the SMALL-verification form.
+        lim = 3_037
         guarded = F.when(
             F.col("n_pt") > lim,
             F.raise_error(

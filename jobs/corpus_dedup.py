@@ -240,16 +240,22 @@ def main() -> None:
             df, args.id_col, args.text_col,
             n=args.substring_ngram, min_count=args.substring_min_count,
         )
-        # swap in the span-stripped text; drop docs emptied out entirely
+        # swap in the span-stripped text only where something was cut
+        # (untouched docs keep their bytes; the operator's rebuild is
+        # whitespace-normalized); drop docs emptied out entirely
         df = checkpoint(
             "after_substring_dedup",
-            df.drop(args.text_col)
-            .join(
+            df.join(
                 cleaned.where(F.col("n_words") > F.col("n_removed_words")),
                 args.id_col,
             )
-            .withColumnRenamed("clean_text", args.text_col)
-            .drop("n_words", "n_removed_words"),
+            .withColumn(
+                args.text_col,
+                F.when(
+                    F.col("n_removed_words") > 0, F.col("clean_text")
+                ).otherwise(F.col(args.text_col)),
+            )
+            .drop("clean_text", "n_words", "n_removed_words"),
         )
 
     if args.benchmark:

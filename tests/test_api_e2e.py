@@ -248,3 +248,11 @@ def test_candidate_ranker_init_rank_and_set_query(spark, artifact):
     ranker.set_query(query=["Paris"])
     assert ranker.num_candidates == 2 and ranker.calc_cosine is False
     assert "Paris" in str(ranker)
+
+    # switching back to a DataFrame store clears the stale raw-string
+    # query (r3 review: otherwise the old 'Paris' silently wins forever)
+    qstore = _mini_store(spark, artifact, ["london", "berlin"])
+    ranker.set_query(queries=qstore)
+    assert ranker.query is None and ranker.queries is qstore
+    back = ranker.rank().collect()
+    assert {r.query_orig for r in back} == {"london", "berlin"}

@@ -146,23 +146,31 @@ def test_substring_stage_rewrites_text(spark):
 
     span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
     rows = [
-        (1, span + " unique one tail"),
-        (2, "prefix words go here " + span),
-        (3, "standalone page content with nothing repeated anywhere else today"),
+        (1, span + " Unique One TAIL"),
+        (2, "Prefix words go here " + span),
+        (3, "Standalone  page content\twith nothing repeated anywhere else"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     cleaned = substring_dedup(df, "doc_id", "text", n=13)
+    # same swap the job performs: clean_text only where something was cut
     out = (
-        df.drop("text")
-        .join(
+        df.join(
             cleaned.where(F.col("n_words") > F.col("n_removed_words")), "doc_id"
         )
-        .withColumnRenamed("clean_text", "text")
+        .withColumn(
+            "text",
+            F.when(F.col("n_removed_words") > 0, F.col("clean_text")).otherwise(
+                F.col("text")
+            ),
+        )
+        .drop("clean_text", "n_words", "n_removed_words")
     )
     got = {r.doc_id: r.text for r in out.collect()}
+    # cut docs keep surviving words' case; the untouched doc keeps its
+    # text BYTE-identically (including the double space and tab)
     assert got == {
-        1: "unique one tail",
-        2: "prefix words go here",
+        1: "Unique One TAIL",
+        2: "Prefix words go here",
         3: rows[2][1],
     }
 

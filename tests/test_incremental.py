@@ -202,19 +202,31 @@ def test_incremental_er_recovers_half_done_swap(spark, tmp_path):
 
 def test_bcubed_scaled_range_guard(spark):
     """scaled=True must raise (not silently wrap the long) when a
-    contingency cell exceeds the exact-integer range."""
+    contingency cell exceeds the exact-integer range: n_pt²·10¹² < 2⁶³
+    ⟹ cells of at most 3,037 items (the r3 review found the original
+    guard was set 1000× too lax at 3_037_000 — a 5,000-item cell
+    wrapped silently right past it)."""
     import pytest
-    from pyspark.sql.utils import AnalysisException
 
     from deezymatch_spark.operators.metrics import bcubed
 
-    big = 3_037_001
-    df = spark.range(big).select(
+    df = spark.range(3_038).select(
         F.col("id"), F.lit(1).alias("pred"), F.lit("x").alias("truth")
     )
     with pytest.raises(Exception, match="exact-integer range"):
         bcubed(df, id_col="id", pred_col="pred", truth_col="truth",
                scaled=True).collect()
+
+    # the largest in-range cell still computes exactly: one 3,037-item
+    # cell in perfect agreement → every micro metric is exactly 10⁶
+    ok = spark.range(3_037).select(
+        F.col("id"), F.lit(1).alias("pred"), F.lit("x").alias("truth")
+    )
+    m = bcubed(ok, id_col="id", pred_col="pred", truth_col="truth",
+               scaled=True).collect()[0]
+    assert (m.precision_micro, m.recall_micro, m.f1_micro) == (
+        1_000_000, 1_000_000, 1_000_000
+    )
 
 
 def test_bcubed_hand_example(spark):

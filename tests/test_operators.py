@@ -331,21 +331,23 @@ def test_substring_dedup_removes_covered_words(spark):
 
     span = "one two three four five six seven eight nine ten eleven twelve thirteen"
     rows = [
-        (1, span + " tail alpha"),
-        (2, "head words only then " + span),
-        (3, "independent document body with no repeats at all in sight today"),
+        (1, span + " Tail ALPHA"),
+        # detection is case-insensitive: doc 2 carries the span UPPERCASED
+        (2, "Head words only then " + span.upper()),
+        (3, "independent Document Body with no repeats at all in sight today"),
         (4, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in
            substring_dedup(df, "doc_id", "text", n=13).collect()}
     assert sorted(out) == [1, 2, 3, 4]
-    # the shared 13-word span is cut from both docs; surroundings survive
-    assert out[1].clean_text == "tail alpha"
+    # the shared 13-word span is cut from both docs; survivors keep
+    # their ORIGINAL case (r3 review: the rebuild must not case-fold)
+    assert out[1].clean_text == "Tail ALPHA"
     assert (out[1].n_words, out[1].n_removed_words) == (15, 13)
-    assert out[2].clean_text == "head words only then"
+    assert out[2].clean_text == "Head words only then"
     assert (out[2].n_words, out[2].n_removed_words) == (17, 13)
-    # untouched doc: whitespace-normalized lowercase text, zero removed
+    # untouched doc: original text (case intact), zero removed
     assert out[3].clean_text == rows[2][1]
     assert out[3].n_removed_words == 0
     assert out[4].clean_text == "" and out[4].n_words == 0
