@@ -49,6 +49,7 @@ from deezymatch_spark.functions.pii import (
     pii_stats,
 )
 from deezymatch_spark.functions.urls import TRACKING_PARAM_REGEX, canonical_url
+from deezymatch_spark.operators.lm import UNSEEN_LOGP_MICRO
 from deezymatch_spark.operators import (
     brute_force_topk,
     contaminated_docs,
@@ -632,6 +633,17 @@ def q_dedup_keep_best(spark, sf):
     ).select("doc_id")
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style quality scoring: char-trigram LM fit on the
+    doc_id<250 reference slice, mean NLL per gram (micro-nats, exact
+    integers end-to-end) scored over the whole table."""
+    from deezymatch_spark.operators import char_ngram_lm, lm_score
+
+    d = _t(spark, sf, "documents")
+    lm = char_ngram_lm(d.where(F.col("doc_id") < 250), "text", n=3)
+    return lm_score(d, "doc_id", "text", lm, n=3)
+
+
 def q_char_entropy(spark, sf):
     from deezymatch_spark.functions import char_entropy
 
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_stats": q_substring_dup_stats,
         "substring_dedup": q_substring_dedup,
         "char_entropy": q_char_entropy,
+        "lm_perplexity": q_lm_perplexity,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "bcubed_eval": q_bcubed_eval,
@@ -1557,6 +1570,25 @@ def oracle_sql() -> dict[str, str]:
                    * log2((length(text) - length(replace(text, c, '')))::double / length(text)) end)),
               (x,y) -> x+y) end, 6) as entropy_bits
             from documents""",
+        "lm_perplexity": f"""
+            with d as (select doc_id, lower(trim(text)) as t from documents),
+            g as (select unnest({_d_grams("t", 3)}) as gram from d where doc_id < 250),
+            gc as (select gram, count(*) as c from g group by 1 having count(*) >= 2),
+            pc as (select substr(gram, 1, 2) as prefix, count(*) as p from g group by 1),
+            lm as (select gc.gram,
+                     cast(round(ln(gc.c::double / pc.p) * 1000000) as bigint) as logp_micro
+                   from gc join pc on pc.prefix = substr(gc.gram, 1, 2)),
+            dg as (select doc_id, unnest({_d_grams("t", 3)}) as gram from d),
+            sc as (select doc_id,
+                     coalesce(lm.logp_micro, {UNSEEN_LOGP_MICRO}) as lp
+                   from dg left join lm using (gram)),
+            cnt as (select doc_id, count(*) as n_grams, sum(lp) as slp
+                    from sc group by 1)
+            select d.doc_id,
+              cast(coalesce(cnt.n_grams, 0) as bigint) as n_grams,
+              cast((-coalesce(cnt.slp, 0)) // greatest(coalesce(cnt.n_grams, 0), 1) as bigint)
+                as nll_micro
+            from d left join cnt using (doc_id)""",
         "hash_sample": """
             select doc_id from documents
             where cast(('0x'||substr(md5('s1:'||cast(doc_id as varchar)),1,15)) as bigint)

@@ -33,11 +33,19 @@ def char_ngrams(col: Column, n: int) -> Column:
     DuckDB oracle shape:
     ``list_transform(generate_series(1, greatest(length(x)-n+1, 0)),
     i -> substr(x, i, n))``.
+
+    The short-string case must be gated: Spark's ``sequence(1, 0)``
+    counts DOWN to [1, 0] (it is not empty like DuckDB's
+    generate_series), which would emit two junk grams per sub-``n``
+    string.
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0))),
-        lambda i: F.substring(col, i, n),
-    )
+    return F.when(
+        F.length(col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (n - 1)),
+            lambda i: F.substring(col, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def distinct_char_ngrams(col: Column, n: int) -> Column:

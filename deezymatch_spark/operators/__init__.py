@@ -25,6 +25,7 @@ from .dedup import (
 )
 from .incremental import update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
+from .lm import char_ngram_lm, lm_score
 from .metrics import bcubed, classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
 from .sampling import hash_sample, sample_bucket, stratified_hash_sample
@@ -43,6 +44,7 @@ __all__ = [
     "url_dedup", "url_dup_groups", "word_ngram_hashes",
     "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
+    "char_ngram_lm", "lm_score",
     "bcubed", "classification_metrics", "mean_average_precision",
     "candidate_ranker", "validate_ranker_args",
     "train_val_test_split",

@@ -157,3 +157,40 @@ def test_hash_sample_deterministic_and_nested(spark):
         hash_sample(d, "doc_id", 1.5)
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         stratified_hash_sample(d, "doc_id", "lang", {"en": -0.1})
+
+
+def test_char_ngram_lm_score(spark):
+    """CCNet-shape LM: probabilities normalize per prefix, fluent text
+    scores lower NLL than gibberish, unseen grams take the floor."""
+    from deezymatch_spark.operators import char_ngram_lm, lm_score
+    from deezymatch_spark.operators.lm import UNSEEN_LOGP_MICRO
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(4)],
+        "doc_id long, text string",
+    )
+    lm = char_ngram_lm(ref, "text", n=3, min_count=2)
+    rows = {r.gram: r.logp_micro for r in lm.collect()}
+    assert rows and all(lp <= 0 for lp in rows.values())
+    # P("he " | "he") etc. normalize: grouped by 2-char prefix the
+    # probs sum to <= 1 (pruned tail can remove mass, never add)
+    import collections
+    import math
+
+    by_prefix = collections.defaultdict(float)
+    for gram, lp in rows.items():
+        by_prefix[gram[:2]] += math.exp(lp / 1e6)
+    assert all(s <= 1.0 + 1e-6 for s in by_prefix.values())
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # in-distribution
+            (2, "zxqj vvkw qqpz xjzz wqkv"),        # gibberish, unseen grams
+            (3, "ab"),                              # shorter than n -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in lm_score(docs, "doc_id", "text", lm).collect()}
+    assert got[1].nll_micro < got[2].nll_micro
+    assert got[2].nll_micro == -UNSEEN_LOGP_MICRO  # every gram unseen
+    assert (got[3].n_grams, got[3].nll_micro) == (0, 0)
