@@ -155,6 +155,41 @@ def bench_encoder_training() -> tuple[int, int, float]:
     return n_pairs, epochs, min(els)
 
 
+def py_probe() -> float:
+    """Fixed-work PYTHON-substrate probe, the numpy twin of
+    :func:`hw_probe`: a fixed single-thread GEMM chain plus one
+    forward pass of the bench scorer's own GRU geometry on a fixed
+    batch. Run BEFORE the JVM exists (like ``encoder_training``), so
+    it isolates Python/numpy tenancy from JVM tenancy: round 3's
+    encoder/scoring numbers halved while the JVM probe moved 7%, and
+    attributing that cost an hour of audit — ``py_probe_sec`` makes it
+    readable directly. Interpretation (BASELINE.md): normalize
+    encoder_training / pairwise_scoring by the ``py_probe_sec`` ratio
+    and the Spark queries by ``hw_probe_sec`` before comparing rounds.
+    Best-of-2; ~1s on an idle host."""
+    import numpy as np
+
+    from deezymatch_spark.model.fixtures import encode_pairs, translit_pairs
+    from deezymatch_spark.model.numpy_rnn import SiameseRNN
+
+    model = SiameseRNN.from_seed(
+        1364, 24, architecture="gru", hidden_dim=60, embedding_dim=60,
+        n_layers=2, pooling_mode="hstates_layers_simple",
+    )
+    X1, l1, X2, l2, _y = encode_pairs(translit_pairs(256, seed=11))
+    rng = np.random.default_rng(1364)
+    a = rng.standard_normal((512, 512))
+    els = []
+    for _ in range(2):
+        t0 = time.time()
+        m = a
+        for _ in range(150):  # fixed GEMM chain, ~40 GFLOP total
+            m = np.tanh(m @ a * 0.01)
+        model.classify(X1, l1, X2, l2)
+        els.append(time.time() - t0)
+    return min(els)
+
+
 def hw_probe(spark) -> float:
     """Fixed-work CPU probe: a pure whole-stage-codegen aggregation
     (2B-row xxhash sum — zero shuffle, zero Python, zero disk). Its
@@ -201,9 +236,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # measure the pure-numpy BPTT BEFORE the Spark JVM exists: a live
-    # local[32] JVM (GC/JIT threads) depressed the same single-core
+    # both Python-side measurements run BEFORE the Spark JVM exists: a
+    # live local[32] JVM (GC/JIT threads) depressed the same single-core
     # training loop 958 -> 392 pair-epochs/s in a same-session A/B
+    extras["py_probe_sec"] = round(py_probe(), 3)
     if "encoder_training" in names:
         n_tr, n_ep, el = bench_encoder_training()
         timings["encoder_training"] = round(el, 3)

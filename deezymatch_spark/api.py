@@ -631,9 +631,10 @@ class candidate_ranker_init:
         number_test_rows: int | None = None,
     ) -> None:
         """Update-and-keep semantics ≙ candidateRanker.py:105-140:
-        falsy args leave the stored value; the calc_* flags are
-        REASSIGNED from their (default-False) argument every call —
-        the reference's documented quirk, kept for parity.
+        falsy args leave the stored value — including the calc_*
+        flags, which (like the reference's ``if calc_predict:``
+        guard) can only be turned ON by set_query, never back off;
+        re-instantiate to clear them.
 
         One deliberate deviation: passing ``queries=`` WITHOUT
         ``query`` clears the stored raw-string query, so the next
@@ -656,8 +657,10 @@ class candidate_ranker_init:
             self.search_size = search_size
         if length_diff:
             self.length_diff = length_diff
-        self.calc_predict = calc_predict
-        self.calc_cosine = calc_cosine
+        if calc_predict:
+            self.calc_predict = calc_predict
+        if calc_cosine:
+            self.calc_cosine = calc_cosine
         if number_test_rows:
             self.number_test_rows = number_test_rows
 

@@ -30,6 +30,14 @@ from .textstats import (
     whitespace_token_count,
     word_token_count,
 )
+from .bpe import (
+    bpe_count_expr,
+    bpe_encode,
+    bpe_segment_expr,
+    seed_merges,
+    train_bpe,
+    train_bpe_from_df,
+)
 from .expr import let_
 from .pii import mask_pii, pii_stats
 from .urls import TRACKING_PARAM_REGEX, canonical_url
@@ -45,6 +53,8 @@ __all__ = [
     "repetition_stats",
     "rolling_fingerprint", "stopword_ratio", "whitespace_token_count",
     "word_token_count",
+    "bpe_count_expr", "bpe_encode", "bpe_segment_expr", "seed_merges",
+    "train_bpe", "train_bpe_from_df",
     "canonical_url", "TRACKING_PARAM_REGEX", "let_", "mask_pii", "pii_stats",
     "jaro_winkler", "jaro_winkler_udf", "make_encode_udf", "normalize_udf",
     "tokenize_udf",

@@ -23,7 +23,7 @@ from .dedup import (
     url_dup_groups,
     word_ngram_hashes,
 )
-from .incremental import update_clusters
+from .incremental import remove_nodes, update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
 from .lm import char_ngram_lm, lm_score
 from .metrics import bcubed, classification_metrics, mean_average_precision
@@ -42,7 +42,7 @@ __all__ = [
     "duplicated_sentences", "sentence_dedup", "simhash_dup_pairs",
     "substring_dedup", "substring_dup_spans", "substring_dup_stats",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",
-    "update_clusters",
+    "remove_nodes", "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
     "char_ngram_lm", "lm_score",
     "bcubed", "classification_metrics", "mean_average_precision",

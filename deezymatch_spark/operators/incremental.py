@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .cc import connected_components
 
-__all__ = ["update_clusters"]
+__all__ = ["remove_nodes", "update_clusters"]
 
 
 def update_clusters(
@@ -78,6 +78,73 @@ def update_clusters(
     # touched singleton center is itself a delta endpoint
     star = members.select(F.col("node").alias("src"), F.col("component").alias("dst"))
     refreshed = connected_components(star.unionByName(edges), **cc_kwargs)
+
+    untouched = prev.join(F.broadcast(touched), "component", "left_anti")
+    return untouched.unionByName(refreshed)
+
+
+def remove_nodes(
+    clusters_prev: DataFrame,
+    edges_prev: DataFrame,
+    deleted: DataFrame,
+    *,
+    node_col: str = "node",
+    component_col: str = "component",
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """→ DataFrame[node, component] — ``clusters_prev`` with the
+    ``deleted`` nodes retracted, re-closing ONLY the touched components.
+
+    The inverse delta of :func:`update_clusters`: a crawl refresh also
+    retracts documents (expired pages, takedowns), and deleting a node
+    can SPLIT a component — the deleted doc may have been the only
+    bridge between two title variants — so the star edges stored in
+    ``clusters_prev`` are not enough: the split is only decidable on
+    the REAL surviving match edges, which is why the incremental state
+    keeps an append-only edge table (``incremental_er``'s ``edges``).
+
+    Equivalence contract (tests/test_incremental.py):
+    ``remove_nodes(cc(E), E, D) == cc(E restricted to V \\ D)`` — exact,
+    including splits, because the touched components are re-closed from
+    their surviving real edges, not their stars.
+
+    Scale shape: ``deleted`` is delta-sized and broadcasts; the touched
+    component list and their member list are delta-neighborhood-sized
+    (same bound :func:`update_clusters` already relies on) and also
+    broadcast, so the corpus-sized frames — ``clusters_prev`` and
+    ``edges_prev`` — are only ever on the probe side of a
+    BroadcastHashJoin: no corpus shuffle. A match edge always connects
+    two nodes of the same component, so membership of ``src`` alone
+    decides whether an edge belongs to a touched component.
+
+    Deleted nodes that were edgeless singletons never appear in
+    ``clusters_prev`` (the ``connected_components`` contract) and need
+    no handling here; survivors that become edgeless by the deletion
+    drop OUT of the result, per the same contract — callers coalesce
+    to self-id.
+    """
+    prev = clusters_prev.select(
+        F.col(node_col).alias("node"), F.col(component_col).alias("component")
+    )
+    edges = edges_prev.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dele = deleted.select(F.col(deleted.columns[0]).alias("node")).distinct()
+
+    touched = (
+        prev.join(F.broadcast(dele), "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    member_ids = prev.join(F.broadcast(touched), "component", "left_semi").select(
+        "node"
+    )
+    surviving = (
+        edges.join(F.broadcast(member_ids), edges.src == member_ids.node, "left_semi")
+        .join(F.broadcast(dele), edges.src == dele.node, "left_anti")
+        .join(F.broadcast(dele), edges.dst == dele.node, "left_anti")
+    )
+    refreshed = connected_components(surviving, **cc_kwargs)
 
     untouched = prev.join(F.broadcast(touched), "component", "left_anti")
     return untouched.unionByName(refreshed)

@@ -165,10 +165,13 @@ def bcubed(
     is computed as the exact bigint ``(n_pt² · 10¹²) div n_p`` so the
     sum is order-independent (float sums differ in the last ulp between
     engines and can tip a 6-dp rounding — round 1's only red oracle
-    cell). Exact-integer mode needs n_pt²·10¹² < 2⁶³, i.e. every
-    contingency CELL at most 3,037 items (floor(sqrt(2⁶³/10¹²)));
-    larger cells raise. It is the small-scale *verification* form;
-    production calls use the default double path.
+    cell). Exact-integer mode has TWO enforced range limits: (a) each
+    contingency CELL at most 3,037 items (n_pt²·10¹² < 2⁶³), and (b)
+    at most ~9.2M items TOTAL — each summed term ``_sq div n_p`` is
+    bounded by n_pt·10¹², so Σ terms ≤ n_items·10¹² and the int64
+    accumulator wraps past n_items ≈ 9.2·10⁶. Both raise loudly. It
+    is the small-scale *verification* form; production calls use the
+    default double path.
     """
     cells = (
         df.select(
@@ -211,7 +214,28 @@ def bcubed(
             F.sum(F.expr("_sq div n_t")).alias("_sr"),
             F.sum("n_pt").alias("n_items"),
         )
-        denom = F.greatest(F.col("n_items"), F.lit(1)).cast("double") * F.lit(1e12)
+        # global range guard: Σ(_sq div n_p) ≤ n_items·10¹², so the
+        # int64 sums _sp/_sr can silently wrap (ANSI off) once
+        # n_items > ~9.2e6 even with every cell under the per-cell
+        # cap. Embedded in the denominator (not a standalone column)
+        # so column pruning can never optimize the check away.
+        n_lim = 9_200_000
+        items_guarded = F.when(
+            F.col("n_items") > n_lim,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bcubed(scaled=True) exact-integer range exceeded: "
+                    ),
+                    F.col("n_items").cast("string"),
+                    F.lit(
+                        f" total items > {n_lim} (int64 term-sum bound); "
+                        "use scaled=False"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n_items"))
+        denom = F.greatest(items_guarded, F.lit(1)).cast("double") * F.lit(1e12)
         prec = F.col("_sp") / denom
         rec = F.col("_sr") / denom
         f1 = 2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))
@@ -219,7 +243,7 @@ def bcubed(
             F.round(prec * 1e6, 0).cast("long").alias("precision_micro"),
             F.round(rec * 1e6, 0).cast("long").alias("recall_micro"),
             F.round(f1 * 1e6, 0).cast("long").alias("f1_micro"),
-            "n_items",
+            items_guarded.alias("n_items"),
         )
     agg = j.agg(
         F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_p")).alias("_sp"),

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions.udfs import jaro_winkler_udf, normalize_udf
 from .operators.blocking import candidate_pairs, release_persisted, scored_candidate_pairs
 from .operators.cc import connected_components
-from .operators.incremental import update_clusters
+from .operators.incremental import remove_nodes, update_clusters
 from .sources.pages import extract_anchor_texts, extract_title, generate_pages
 
 __all__ = ["run_er_pipeline", "er_stages", "incremental_er", "stage_metrics"]
@@ -243,7 +243,7 @@ def er_stages(
 
 def incremental_er(
     spark: SparkSession,
-    pages_new: DataFrame,
+    pages_new: DataFrame | None,
     state_dir: str,
     *,
     jw_threshold: float = 0.82,
@@ -253,6 +253,7 @@ def incremental_er(
     pair_scorer=None,
     conf_threshold: float = 0.5,
     use_minhash: bool = False,
+    deleted_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a crawl delta into a persistent ER state — the day-2
     operation at 10^12 docs, where batch re-clustering per crawl is a
@@ -262,6 +263,9 @@ def incremental_er(
     State layout under ``state_dir`` (parquet; at production scale
     these would be Iceberg tables — same access pattern):
     - ``docs``     — (id, url, title, title_norm), append-only;
+    - ``edges``    — (src, dst) match-edge lineage, append-only; kept
+      because retracting a node can SPLIT a component, which is only
+      decidable on the real edges (see ``remove_nodes``);
     - ``clusters`` — (node, component) from connected_components.
 
     First call bootstraps via the batch pipeline. Subsequent calls:
@@ -269,39 +273,104 @@ def incremental_er(
     anti-join — the corpus table streams map-side), append the rest to
     ``docs``, block+score only pairs touching the delta
     (``scored_candidate_pairs(delta_ids=...)``: the delta's key rows
-    broadcast against the corpus key table — no corpus shuffle), and
-    fold the resulting match edges into ``clusters`` with
-    ``update_clusters`` (only touched components recluster).
+    broadcast against the corpus key table — no corpus shuffle), append
+    the new match edges to ``edges`` (deduped against re-runs), and
+    fold them into ``clusters`` with ``update_clusters`` (only touched
+    components recluster).
 
-    Equals batch re-clustering of the full corpus whenever no blocking
-    key exceeds ``max_block_size`` (asserted in tests); with capping,
-    the two can diverge only on pairs whose every shared key is hot.
+    ``deleted_ids`` (one id column): retract documents — real crawl
+    refreshes expire pages as well as adding them. Deletions apply
+    BEFORE the delta ingest; pass ``pages_new=None`` for a
+    deletion-only refresh. Rows leave ``docs``, incident edges leave
+    ``edges``, and only the touched components re-close
+    (``remove_nodes`` — the same delta-neighborhood bound as inserts).
+    Deleting an unknown id is a no-op; delete + re-ingest of the same
+    url re-clusters it from scratch. Requires the ``edges`` table
+    (states bootstrapped before edge lineage existed must re-bootstrap
+    to become deletable).
 
-    Crash consistency: the docs append is idempotent (re-ingesting a
-    batch dedups on id), and the clusters table is replaced by a
-    recoverable three-step swap (write ``clusters_next`` → rename
-    ``clusters``→``clusters_old`` → rename ``clusters_next``→
-    ``clusters`` → delete ``clusters_old``). A job killed in ANY
-    window re-heals: on startup ``_finish_cluster_swap`` completes a
-    half-done swap (``clusters`` missing but a ``_SUCCESS``-stamped
-    ``clusters_next``/``clusters_old`` present) before the delta is
-    re-run, so the state is never bricked.
+    Equals batch re-clustering of the surviving corpus whenever no
+    blocking key exceeds ``max_block_size`` (asserted in tests); with
+    capping, the two can diverge only on pairs whose every shared key
+    is hot.
+
+    Crash consistency: the docs/edges appends are idempotent
+    (re-ingesting a batch dedups on id / on (src, dst)), and every
+    table replacement goes through a recoverable three-step swap
+    (write ``<t>_next`` → rename ``<t>``→``<t>_old`` → rename
+    ``<t>_next``→``<t>`` → delete ``<t>_old``). A job killed in ANY
+    window re-heals: on startup ``_finish_cluster_swap`` completes any
+    half-done swap (table missing but a ``_SUCCESS``-stamped
+    ``_next``/``_old`` present) and re-running the SAME call is
+    idempotent, so the state is never bricked — deletion re-runs see
+    already-filtered tables and re-filter them to the same result.
     """
     docs_path = os.path.join(state_dir, "docs")
+    edges_path = os.path.join(state_dir, "edges")
     clusters_path = os.path.join(state_dir, "clusters")
 
-    _finish_cluster_swap(spark, clusters_path)
+    for p in (clusters_path, edges_path, docs_path):
+        _finish_cluster_swap(spark, p)
     if not _is_done(spark, docs_path):
+        if pages_new is None:
+            raise ValueError("incremental_er: no state to refresh and no pages to bootstrap from")
+        if deleted_ids is not None:
+            raise ValueError("incremental_er: deleted_ids needs an existing state (nothing ingested yet)")
         st = er_stages(
             pages_new, spark=spark, jw_threshold=jw_threshold, lev_max=lev_max,
             max_block_size=max_block_size, ngram=ngram, pair_scorer=pair_scorer,
             conf_threshold=conf_threshold, use_minhash=use_minhash,
         )
         st["components"].write.mode("overwrite").parquet(clusters_path)
+        st["matches"].select(
+            F.col("id1").alias("src"), F.col("id2").alias("dst")
+        ).write.mode("overwrite").parquet(edges_path)
+        # docs is written LAST: _is_done(docs) is the bootstrap's
+        # commit marker, so a crash mid-bootstrap re-runs it whole
         st["docs"].select("id", "url", "title", "title_norm").write.mode(
             "overwrite"
         ).parquet(docs_path)
         st["release"]()
+        return _er_assignment(
+            spark.read.parquet(docs_path), spark.read.parquet(clusters_path)
+        )
+
+    if deleted_ids is not None:
+        if not _is_done(spark, edges_path):
+            raise RuntimeError(
+                "incremental_er: this state has no edge lineage table "
+                f"({edges_path}) — it predates deletion support; "
+                "re-bootstrap to make it deletable"
+            )
+        dele = (
+            deleted_ids.select(F.col(deleted_ids.columns[0]).alias("id"))
+            .distinct()
+        )
+        docs_prev = spark.read.parquet(docs_path)
+        edges_prev = spark.read.parquet(edges_path)
+        clusters_prev = spark.read.parquet(clusters_path)
+        # all three _next tables are WRITTEN (from the still-unswapped
+        # prev tables) before any rename happens, then swapped edges →
+        # clusters → docs; a crash in any window re-heals because the
+        # re-run's filters are no-ops on already-swapped tables
+        remove_nodes(
+            clusters_prev,
+            edges_prev,
+            dele,
+            node_col="node", component_col="component",
+        ).write.mode("overwrite").parquet(clusters_path + "_next")
+        (
+            edges_prev.join(F.broadcast(dele), edges_prev.src == dele.id, "left_anti")
+            .join(F.broadcast(dele), edges_prev.dst == dele.id, "left_anti")
+            .write.mode("overwrite").parquet(edges_path + "_next")
+        )
+        docs_prev.join(F.broadcast(dele), "id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(docs_path + "_next")
+        for p in (edges_path, clusters_path, docs_path):
+            _swap_in(spark, p)
+
+    if pages_new is None:
         return _er_assignment(
             spark.read.parquet(docs_path), spark.read.parquet(clusters_path)
         )
@@ -334,37 +403,67 @@ def incremental_er(
         matches = matches.withColumn(
             "p1", pair_scorer(F.col("t1"), F.col("t2"))
         ).where(F.col("p1") >= conf_threshold)
-    updated = update_clusters(
-        clusters_prev,
-        matches.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
-    )
+    # the delta's match edges feed BOTH the lineage append and the
+    # cluster fold; persisting the (delta-sized) frame keeps the
+    # blocking/scoring join from running twice
+    delta_edges = matches.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).persist()
 
-    next_path = clusters_path + "_next"
-    updated.write.mode("overwrite").parquet(next_path)
+    # append to the edge lineage, deduped against a crashed re-run of
+    # the same batch: any already-present edge incident to a delta id
+    # (delta-neighborhood-sized → broadcast) is skipped, so re-running
+    # the call can't grow the table
+    if _is_done(spark, edges_path):
+        eprev = spark.read.parquet(edges_path)
+        known = (
+            eprev.join(F.broadcast(new_ids), eprev.src == new_ids.id, "left_semi")
+            .unionByName(
+                eprev.join(F.broadcast(new_ids), eprev.dst == new_ids.id, "left_semi")
+            )
+            .distinct()
+        )
+        fresh = delta_edges.join(F.broadcast(known), ["src", "dst"], "left_anti")
+    else:
+        # pre-lineage state: start the table from this delta onward
+        # (such a state remains non-deletable until re-bootstrapped)
+        fresh = delta_edges
+    fresh.write.mode("append").parquet(edges_path)
+
+    updated = update_clusters(clusters_prev, delta_edges)
+    updated.write.mode("overwrite").parquet(clusters_path + "_next")
     release_persisted(scored_raw)
-    jvm = spark._jvm
-    hp = jvm.org.apache.hadoop.fs.Path(clusters_path)
-    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-    old = jvm.org.apache.hadoop.fs.Path(clusters_path + "_old")
-    fs.delete(old, True)  # stale _old from a crash after a completed swap
-    # Hadoop rename reports failure by RETURNING false, not raising —
-    # ignoring it here would silently serve the stale cluster table
-    if not fs.rename(hp, old):
-        raise RuntimeError(f"cluster swap: rename {clusters_path} -> _old failed")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(next_path), hp):
-        raise RuntimeError(f"cluster swap: rename {next_path} -> clusters failed")
-    fs.delete(old, True)
+    delta_edges.unpersist()
+    _swap_in(spark, clusters_path)
     return _er_assignment(docs_all, spark.read.parquet(clusters_path))
 
 
-def _finish_cluster_swap(spark: SparkSession, clusters_path: str) -> None:
-    """Complete a half-done clusters-table swap left by a killed job.
+def _swap_in(spark: SparkSession, path: str) -> None:
+    """Promote a written-and-stamped ``<path>_next`` over ``<path>``
+    via the recoverable three-step swap (see incremental_er docstring).
+    Hadoop rename reports failure by RETURNING false, not raising —
+    ignoring it would silently serve the stale table."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = jvm.org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(old, True)  # stale _old from a crash after a completed swap
+    if not fs.rename(hp, old):
+        raise RuntimeError(f"table swap: rename {path} -> _old failed")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(path + "_next"), hp):
+        raise RuntimeError(f"table swap: rename {path}_next -> {path} failed")
+    fs.delete(old, True)
 
-    Invariant of the swap in :func:`incremental_er`: ``clusters_next``
-    is only renamed away AFTER ``clusters`` has been renamed to
-    ``clusters_old``, so if ``clusters`` is missing, a ``_SUCCESS``-
-    stamped ``clusters_next`` (preferred — it is the newer state) or
-    ``clusters_old`` must exist; promote it and clean up."""
+
+def _finish_cluster_swap(spark: SparkSession, clusters_path: str) -> None:
+    """Complete a half-done state-table swap left by a killed job
+    (clusters, edges, or docs — the invariant is per-path).
+
+    Invariant of :func:`_swap_in`: ``<t>_next`` is only renamed away
+    AFTER ``<t>`` has been renamed to ``<t>_old``, so if ``<t>`` is
+    missing, a ``_SUCCESS``-stamped ``<t>_next`` (preferred — it is
+    the newer state) or ``<t>_old`` must exist; promote it and clean
+    up."""
     if _is_done(spark, clusters_path):
         return
     jvm = spark._jvm

@@ -21,7 +21,12 @@ stage shrinks the next stage's input:
                         n-word-gram spans (--substring-ngram)
   6. decontamination  — drop docs sharing a 13-word-gram with any
                         benchmark text (skipped without --benchmark)
-  7. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
+  7. LM quality gate  — CCNet-style char-ngram LM perplexity filter:
+                        fit on a deterministic hash-sample slice of
+                        the (already deduped) corpus, drop docs whose
+                        mean NLL exceeds --lm-max-nll nats
+                        (--lm-ngram, 0 = off)
+  8. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
                         verify → connected components → keep cluster
                         min-id, or the best member by --keep-best
 
@@ -90,6 +95,26 @@ def main() -> None:
     ap.add_argument("--bench-text-col", default="text")
     ap.add_argument("--decontam-ngram", type=int, default=13,
                     help="word n-gram size for benchmark overlap")
+    ap.add_argument("--lm-ngram", type=int, default=0,
+                    help="enable the CCNet-style char-ngram LM quality "
+                         "gate at this gram size (0 = off; needs "
+                         "--lm-max-nll)")
+    ap.add_argument("--lm-max-nll", type=float, default=None,
+                    help="drop docs whose mean char-ngram negative "
+                         "log-likelihood exceeds this many nats "
+                         "(CCNet keeps the low-perplexity head)")
+    ap.add_argument("--lm-min-count", type=int, default=2,
+                    help="prune LM grams seen fewer than N times in "
+                         "the fit slice")
+    ap.add_argument("--lm-fit-fraction", type=float, default=0.1,
+                    help="deterministic hash-sample fraction of the "
+                         "deduped corpus the LM is fit on (1.0 = fit "
+                         "on everything; the real-KenLM seam replaces "
+                         "this fit with a wiki-trained table)")
+    ap.add_argument("--lm-salt", default="lmfit",
+                    help="salt for the LM fit sample — distinct from "
+                         "--sample-salt so the fit slice is "
+                         "independent of the subsample stage")
     ap.add_argument("--near-method", choices=["minhash", "simhash"],
                     default="minhash",
                     help="near-dup detector: MinHash/Jaccard (longer "
@@ -125,6 +150,17 @@ def main() -> None:
         ap.error("--substring-ngram must be >= 0")
     if args.substring_ngram > 0 and args.substring_min_count < 2:
         ap.error("--substring-min-count must be >= 2")
+    if args.lm_ngram:
+        if args.lm_ngram < 2:
+            ap.error("--lm-ngram must be >= 2 (the LM conditions on a "
+                     "non-empty prefix)")
+        if args.lm_max_nll is None:
+            ap.error("--lm-ngram needs --lm-max-nll (the gate has no "
+                     "default threshold: it is corpus- and n-dependent)")
+        if not 0.0 < args.lm_fit_fraction <= 1.0:
+            ap.error("--lm-fit-fraction must be in (0, 1]")
+        if args.lm_min_count < 1:
+            ap.error("--lm-min-count must be >= 1")
     if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
         ap.error("--sample-fraction must be in [0, 1]")
     if args.sample_rates and not args.sample_strata_col:
@@ -242,11 +278,17 @@ def main() -> None:
         )
         # swap in the span-stripped text only where something was cut
         # (untouched docs keep their bytes; the operator's rebuild is
-        # whitespace-normalized); drop docs emptied out entirely
+        # whitespace-normalized); drop only docs the stage ACTUALLY
+        # emptied out — a doc that was already empty/whitespace-only
+        # (n_words=0, n_removed=0) had nothing removed and passes
+        # through unchanged, same as every other stage treats it
         df = checkpoint(
             "after_substring_dedup",
             df.join(
-                cleaned.where(F.col("n_words") > F.col("n_removed_words")),
+                cleaned.where(
+                    (F.col("n_removed_words") == 0)
+                    | (F.col("n_words") > F.col("n_removed_words"))
+                ),
                 args.id_col,
             )
             .withColumn(
@@ -286,6 +328,50 @@ def main() -> None:
                 args.bench_text_col, n=args.decontam_ngram,
             ),
         )
+
+    if args.lm_ngram:
+        from deezymatch_spark.operators import char_ngram_lm, lm_score
+
+        # fit on a deterministic slice of the CURRENT (deduped) corpus
+        # — fitting after dedup keeps boilerplate from dominating the
+        # model, and the hash sample is retry/partitioning-stable
+        fit_slice = (
+            df
+            if args.lm_fit_fraction >= 1.0
+            else hash_sample(
+                df, args.id_col, args.lm_fit_fraction, salt=args.lm_salt
+            )
+        )
+        lm = char_ngram_lm(
+            fit_slice, args.text_col,
+            n=args.lm_ngram, min_count=args.lm_min_count,
+        )
+        if not args.no_metrics:
+            # model-sized count (Zipf-bounded), cheap even at corpus
+            # scale; an empty model would send EVERY doc to the unseen
+            # floor and make the gate all-or-nothing — surface it loudly
+            lm = lm.persist()
+            metrics["lm_grams"] = lm.count()
+            if metrics["lm_grams"] == 0:
+                import sys
+
+                print(
+                    "WARNING: the char-ngram LM is empty (fit slice too "
+                    "small for --lm-min-count?) — every gram scores at "
+                    "the unseen floor (~16.1 nats) and --lm-max-nll "
+                    "becomes all-or-nothing; raise --lm-fit-fraction or "
+                    "lower --lm-min-count",
+                    file=sys.stderr,
+                )
+        max_nll_micro = int(round(args.lm_max_nll * 1_000_000))
+        keep = (
+            lm_score(df, args.id_col, args.text_col, lm, n=args.lm_ngram)
+            .where(F.col("nll_micro") <= max_nll_micro)
+            .select(args.id_col)
+        )
+        df = checkpoint("after_lm_filter", df.join(keep, args.id_col))
+        if not args.no_metrics:
+            lm.unpersist()
 
     if not args.skip_near_dedup:
         if args.near_method == "minhash":

@@ -243,10 +243,15 @@ def test_candidate_ranker_init_rank_and_set_query(spark, artifact):
     got = out2.collect()
     assert {r.query_orig for r in got} == {"Berlin"}
     assert max(r.rank for r in got) <= 2
-    # falsy args keep stored params; calc flags reassign (reference quirk)
+    # falsy args keep stored params — including the calc flags, which
+    # (like the reference's `if calc_predict:` guard,
+    # candidateRanker.py:105-140) set_query can only turn ON, never off
     ranker.calc_cosine = True
     ranker.set_query(query=["Paris"])
-    assert ranker.num_candidates == 2 and ranker.calc_cosine is False
+    assert ranker.num_candidates == 2 and ranker.calc_cosine is True
+    ranker.set_query(calc_predict=True)
+    assert ranker.calc_predict is True and ranker.calc_cosine is True
+    ranker.calc_predict = ranker.calc_cosine = False
     assert "Paris" in str(ranker)
 
     # switching back to a DataFrame store clears the stale raw-string

@@ -121,6 +121,12 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             # stage) and quality-keep near dedup (longer text wins)
             "--sample-fraction", "1.0", "--sample-salt", "ship",
             "--keep-best", "length",
+            # LM quality gate wired e2e: fit on the whole surviving
+            # corpus; 20 nats sits above the unseen floor (~16.1) so
+            # the stage runs but drops nothing here — the filtering
+            # semantics themselves are covered by test_lm_stage_gates
+            "--lm-ngram", "3", "--lm-max-nll", "20.0",
+            "--lm-fit-fraction", "1.0",
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
@@ -133,6 +139,8 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     assert metrics["after_exact_dedup"] == 4
     assert metrics["benchmark_grams"] > 0
     assert metrics["after_decontamination"] == 3  # doc 6 quoted the benchmark
+    assert metrics["lm_grams"] > 0
+    assert metrics["after_lm_filter"] == 3  # threshold above the unseen floor
     assert metrics["output_rows"] == 2
     # keep-best: the {3,5} near-dup cluster keeps 5 (longer text), not min-id 3
     kept = sorted(
@@ -173,6 +181,46 @@ def test_substring_stage_rewrites_text(spark):
         2: "Prefix words go here",
         3: rows[2][1],
     }
+
+
+def test_lm_stage_gates(spark):
+    """The CCNet-style LM gate as the job chains it: fit on a hash
+    sample of the corpus, score everything, keep docs at or under the
+    NLL threshold. Fluent docs (built from the fit slice's own trigram
+    distribution) must score far below a gibberish doc."""
+    from deezymatch_spark.operators import char_ngram_lm, hash_sample, lm_score
+
+    fluent = [
+        "the market said the statement that the company reported this year",
+        "the company said that the market statement reported the year today",
+        "this year the company said the market reported that statement too",
+        "the statement said that this market company reported the year here",
+    ]
+    rows = [(i, t) for i, t in enumerate(fluent)] + [
+        (99, "zqx vkj qwz jxq kvz xjq wqz zxv qkj vzx jqw kzx")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lm = char_ngram_lm(
+        hash_sample(df, "doc_id", 1.0, salt="lmfit"), "text", n=3, min_count=2
+    )
+    assert lm.count() > 0
+    scores = {
+        r.doc_id: r.nll_micro
+        for r in lm_score(df, "doc_id", "text", lm, n=3).collect()
+    }
+    worst_fluent = max(v for k, v in scores.items() if k != 99)
+    assert scores[99] > 2 * worst_fluent  # gibberish is mostly unseen grams
+
+    # the job's gate: threshold between the fluent band and the gibberish
+    thresh = (worst_fluent + scores[99]) // 2
+    keep = (
+        lm_score(df, "doc_id", "text", lm, n=3)
+        .where(F.col("nll_micro") <= thresh)
+        .select("doc_id")
+    )
+    kept = sorted(r.doc_id for r in df.join(keep, "doc_id").collect())
+    assert kept == [0, 1, 2, 3]
 
 
 def test_sampling_and_keep_best_stage_chain(spark):

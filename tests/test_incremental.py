@@ -200,6 +200,97 @@ def test_incremental_er_recovers_half_done_swap(spark, tmp_path):
     assert {(r.url, r.entity_id) for r in got2.collect()} == expected
 
 
+def test_remove_nodes_splits_and_preserves_untouched(spark):
+    """Deleting a cut vertex must SPLIT its component — the case star
+    edges alone cannot decide, which is why remove_nodes takes the real
+    edge table."""
+    from deezymatch_spark.operators import remove_nodes
+
+    # comp 1 is a path 1-2-3-4-5 (3 is a cut vertex); comp 10 untouched
+    e = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    prev = connected_components(_edges(spark, e))
+    deleted = spark.createDataFrame([(3,)], "id long")
+    out = _clusters(remove_nodes(prev, _edges(spark, e), deleted))
+    assert out == {
+        (1, 1), (2, 1),          # left half of the split
+        (4, 4), (5, 4),          # right half, re-labeled to its min id
+        (10, 10), (11, 10),      # untouched component, label stable
+    }
+
+
+def test_remove_nodes_equals_batch_property(spark):
+    """remove_nodes(cc(E), E, D) == cc(E restricted to V \\ D) for
+    deletions of every structural role: cut vertex, clique member,
+    component minimum (label changes), whole component, absent id."""
+    from deezymatch_spark.operators import remove_nodes
+
+    e = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain
+        (50, 51), (50, 52), (51, 52),            # clique
+        (5, 50),                                 # chain↔clique bridge
+        (60, 61), (70, 71), (61, 70),            # two pairs bridged
+        (80, 81),                                # isolated pair
+    ]
+    cases = [
+        [3],            # cut vertex: splits the chain
+        [50],           # clique member: clique survives, bridge dies
+        [1],            # component minimum: labels shift to next min
+        [80, 81],       # delete a whole component
+        [999],          # absent id: exact no-op
+        [5, 61, 80],    # mixed multi-delete
+    ]
+    edges = _edges(spark, e)
+    prev = connected_components(edges)
+    for dele in cases:
+        survivors = [
+            (a, b) for a, b in e if a not in dele and b not in dele
+        ]
+        batch = _clusters(connected_components(_edges(spark, survivors)))
+        got = _clusters(
+            remove_nodes(prev, edges, spark.createDataFrame([(d,) for d in dele], "id long"))
+        )
+        assert got == batch, f"deleted {dele}"
+
+
+def test_incremental_er_delete_then_reingest_equals_batch(spark, tmp_path):
+    """Pipeline-level deletion: retracting pages equals batch over the
+    surviving set; deletion is idempotent; re-ingesting the deleted
+    pages restores full-batch equality."""
+    from deezymatch_spark.pipeline import er_stages, incremental_er
+    from deezymatch_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 500, with_truth=False)
+    h = F.pmod(F.xxhash64("url"), F.lit(5))
+    first, second = pages.where(h != 0), pages.where(h == 0)
+    doomed = pages.where(h == 1)   # ingested in the first batch
+    kw = dict(max_block_size=1_000_000)
+    state = str(tmp_path / "er_state")
+
+    incremental_er(spark, first, state, **kw)
+    incremental_er(spark, second, state, **kw)
+
+    # deletion-only refresh (pages_new=None)
+    doomed_ids = doomed.select(F.xxhash64("url").alias("id"))
+    a_del = incremental_er(spark, None, state, deleted_ids=doomed_ids, **kw)
+    got = {(r.url, r.entity_id) for r in a_del.collect()}
+
+    st = er_stages(pages.where(h != 1), spark=spark, **kw)
+    batch_survivors = {(r.url, r.entity_id) for r in st["clusters"].collect()}
+    st["release"]()
+    assert got == batch_survivors
+
+    # idempotent: deleting the same ids again changes nothing
+    a_del2 = incremental_er(spark, None, state, deleted_ids=doomed_ids, **kw)
+    assert {(r.url, r.entity_id) for r in a_del2.collect()} == batch_survivors
+
+    # re-ingest of the deleted pages restores full-batch equality
+    a_back = incremental_er(spark, doomed, state, **kw)
+    st2 = er_stages(pages, spark=spark, **kw)
+    batch_all = {(r.url, r.entity_id) for r in st2["clusters"].collect()}
+    st2["release"]()
+    assert {(r.url, r.entity_id) for r in a_back.collect()} == batch_all
+
+
 def test_bcubed_scaled_range_guard(spark):
     """scaled=True must raise (not silently wrap the long) when a
     contingency cell exceeds the exact-integer range: n_pt²·10¹² < 2⁶³
