@@ -14,6 +14,7 @@ from .dedup import (
     minhash_dup_pairs,
     near_dedup,
     ngram_jaccard,
+    semantic_dedup,
     sentence_dedup,
     simhash_dup_pairs,
     substring_dedup,
@@ -39,7 +40,7 @@ __all__ = [
     "dedup_keep_best",
     "hash_sample", "stratified_hash_sample", "sample_bucket",
     "contaminated_docs", "decontaminate",
-    "duplicated_sentences", "sentence_dedup", "simhash_dup_pairs",
+    "duplicated_sentences", "semantic_dedup", "sentence_dedup", "simhash_dup_pairs",
     "substring_dedup", "substring_dup_spans", "substring_dup_stats",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",
     "remove_nodes", "update_clusters",

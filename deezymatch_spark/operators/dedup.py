@@ -36,6 +36,7 @@ __all__ = [
     "decontaminate",
     "word_ngram_hashes",
     "simhash_dup_pairs",
+    "semantic_dedup",
     "url_dup_groups",
     "url_dedup",
     "duplicated_sentences",
@@ -282,6 +283,78 @@ def embedding_dup_pairs(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.where(F.col("cosine") <= cosine_threshold).dropDuplicates(["id1", "id2"])
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_clusters: int = 16,
+    eps: float = 0.05,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning near-duplicates
+    within each cluster. → [id, list_id, kept].
+
+    Exact published semantics, re-expressed for Catalyst:
+
+    1. Partition points into ``n_clusters`` clusters by nearest coarse
+       centroid (cosine). Centroids are the deterministic md5-min
+       reservoir shared with ``knn.ivf_topk`` (kmeans refinement
+       affects pruning *quality*, not semantics, and the seedless
+       reservoir keeps the whole operator DuckDB-oracle-expressible);
+       assignment is a zero-shuffle literal-argmin projection.
+    2. Order each cluster's members by distance-to-centroid DESC
+       (ties by id): the sweep visits low-similarity-to-centroid
+       points first, so the survivor of any duplicate group is the
+       one SemDeDup keeps (§3: retaining low-centroid-similarity
+       examples).
+    3. A point is a duplicate iff its cosine distance to ANY
+       earlier-ranked point in its cluster is <= ``eps`` — the upper
+       triangle of the paper's per-cluster similarity matrix,
+       expressed as a rank-gated self-join on ``list_id``. The drop
+       decision deliberately does not depend on the earlier point's
+       own kept flag (also the paper's semantics), which is what keeps
+       the operator a join instead of a sequential scan.
+
+    Scale: the window and the self-join share one Exchange on
+    ``list_id``; the triangular verify is the paper's O(|cluster|²)
+    step — size ``n_clusters`` ≈ N / target_cluster_size to bound it
+    (the paper runs 11k clusters over 233M points). No floats in the
+    output: kept is a boolean, so the result hash-compares exactly.
+    Zero-norm vectors have NaN cosine everywhere: NaN <= eps is false,
+    so they are never dropped (and never drop others).
+    """
+    from ..functions.distances import cosine_dist
+    from .knn import centroid_dist_array, coarse_centroids
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    centroids = coarse_centroids(base, "id", "vec", n_clusters)
+    arr = centroid_dist_array(F.col("vec"), centroids, cosine_dist)
+    assigned = base.select("id", "vec", F.array_min(arr).alias("_m")).select(
+        "id",
+        "vec",
+        F.col("_m")["list_id"].alias("list_id"),
+        F.col("_m")["d"].alias("_cd"),
+    )
+    w = Window.partitionBy("list_id").orderBy(F.col("_cd").desc(), F.col("id").asc())
+    ranked = assigned.withColumn("_rk", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("b._rk") < F.col("a._rk")),
+        )
+        .where(cosine_dist(F.col("a.vec"), F.col("b.vec")) <= F.lit(float(eps)))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return ranked.join(dropped, "id", "left").select(
+        "id", "list_id", F.col("_dup").isNull().alias("kept")
+    )
 
 
 def near_dedup(

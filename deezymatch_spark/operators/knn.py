@@ -24,9 +24,52 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.distances import cosine_dist, dot, sq_l2
 from ..functions.hashing import md5_long
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "coarse_centroids",
+    "centroid_dist_array",
+]
 
 _METRICS = {"sq_l2": sq_l2, "cosine": cosine_dist}
+
+
+def coarse_centroids(
+    base: DataFrame, id_col: str, vec_col: str, n: int
+) -> list[list[float]]:
+    """``n`` deterministic coarse centroids: the vectors of the rows
+    with smallest ``(md5_long(id), id)`` — a seedless reservoir; md5
+    keeps every consumer DuckDB-oracle-expressible, and kmeans
+    refinement is unnecessary for bucketing correctness. Eager: runs
+    one tiny Spark job (a ``TakeOrderedAndProject`` of n rows)."""
+    rows = (
+        base.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            md5_long(F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r._v] for r in rows]
+
+
+def centroid_dist_array(vec_col, centroids: list[list[float]], dist_fn):
+    """``array<struct<d, list_id>>`` of codegen'd distances from
+    ``vec_col`` to each centroid, inlined as plan-time LITERALS —
+    ``array_min`` over it is a zero-shuffle argmin (lexicographic
+    struct order tie-breaks equal distances by list_id)."""
+    return F.array(
+        *[
+            F.struct(
+                dist_fn(vec_col, F.array(*[F.lit(x) for x in v])).alias("d"),
+                F.lit(i + 1).alias("list_id"),
+            )
+            for i, v in enumerate(centroids)
+        ]
+    )
 
 
 def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -224,26 +267,10 @@ def ivf_topk(
     c = candidates.select(F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv"))
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
 
-    cent_rows = (
-        c.select("candidate_id", "_cv", md5_long(F.col("candidate_id")).alias("_h"))
-        .orderBy("_h", "candidate_id")
-        .limit(n_lists)
-        .collect()
-    )
-    centroids = [[float(x) for x in r._cv] for r in cent_rows]
+    centroids = coarse_centroids(c, "candidate_id", "_cv", n_lists)
 
     def assign_array(vec_col):
-        # one struct per centroid; lexicographic struct order makes
-        # array_min/array_sort an argmin with list_id tie-break
-        return F.array(
-            *[
-                F.struct(
-                    dist_fn(vec_col, F.array(*[F.lit(x) for x in v])).alias("d"),
-                    F.lit(i + 1).alias("list_id"),
-                )
-                for i, v in enumerate(centroids)
-            ]
-        )
+        return centroid_dist_array(vec_col, centroids, dist_fn)
 
     c_assigned = c.withColumn(
         "list_id", F.array_min(assign_array(F.col("_cv")))["list_id"]

@@ -110,3 +110,96 @@ def test_embedding_dup_pairs_lsh_subset_of_exhaustive(spark):
     assert len(exact) > 0
     # sign-LSH recall on threshold-passing pairs
     assert len(lsh) / len(exact) >= 0.3
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def _py_semantic_dedup(rows, n_clusters, eps):
+    """Independent pure-Python replica of semantic_dedup's published
+    semantics (md5-min centroids, argmin cosine assignment, cd-desc
+    sweep, any-prior-within-eps drop). Dot products are LEFT FOLDS over
+    float64 — the same association order as F.aggregate — so the two
+    implementations agree bitwise, not just approximately."""
+    import hashlib
+
+    def md5_long(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + float(x) * float(y)
+        return s
+
+    def cos(a, b):
+        return 1.0 - dot(a, b) / (dot(a, a) ** 0.5 * dot(b, b) ** 0.5)
+
+    cents = [
+        v for _, v in sorted(rows.items(), key=lambda kv: (md5_long(kv[0]), kv[0]))
+    ][:n_clusters]
+    clusters = {}
+    for i, v in rows.items():
+        d, lid = min((cos(v, c), j + 1) for j, c in enumerate(cents))
+        clusters.setdefault(lid, []).append((d, i, v))
+    kept = {}
+    for lid, members in clusters.items():
+        members.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, i, v) in enumerate(members):
+            dup = any(
+                cos(v, members[p][2]) <= eps for p in range(rank)
+            )
+            kept[i] = (lid, not dup)
+    return kept
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    from deezymatch_spark.operators import semantic_dedup
+
+    emb = _emb(spark, n=200)
+    rows = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    expected = _py_semantic_dedup(rows, n_clusters=6, eps=0.65)
+    got = {
+        r.id: (r.list_id, r.kept)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_clusters=6, eps=0.65
+        ).collect()
+    }
+    assert got == expected
+    # the threshold actually bites: some rows dropped, some kept
+    flags = {k for _, k in got.values()}
+    assert flags == {True, False}
+
+
+def test_semantic_dedup_eps_extremes(spark):
+    from deezymatch_spark.operators import semantic_dedup
+
+    emb = _emb(spark, n=100)
+    all_kept = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, eps=-1.0)
+    assert all(r.kept for r in all_kept.collect())
+    one_per = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, eps=2.0).collect()
+    by_cluster = {}
+    for r in one_per:
+        by_cluster.setdefault(r.list_id, []).append(r.kept)
+    # cosine dist <= 2 always holds, so every non-rank-1 row drops:
+    # exactly one survivor per (non-empty) cluster
+    for flags in by_cluster.values():
+        assert sum(flags) == 1
+
+
+def test_semantic_dedup_kept_monotone_in_eps(spark):
+    from deezymatch_spark.operators import semantic_dedup
+
+    emb = _emb(spark, n=150)
+    kept_tight = {
+        r.id for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_clusters=4, eps=0.3
+        ).collect() if r.kept
+    }
+    kept_loose = {
+        r.id for r in semantic_dedup(
+            emb, "vec_id", "embedding", n_clusters=4, eps=0.7
+        ).collect() if r.kept
+    }
+    # a larger eps can only drop MORE rows (drop predicate is monotone
+    # and independent of other rows' kept status)
+    assert kept_loose <= kept_tight
