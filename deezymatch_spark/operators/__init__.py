@@ -27,6 +27,11 @@ from .dedup import (
 from .incremental import remove_nodes, update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
 from .lm import char_ngram_lm, lm_score
+from .quality_lr import (
+    fit_quality_lr,
+    score_quality_lr,
+    seed_quality_weights,
+)
 from .metrics import bcubed, classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
 from .sampling import hash_sample, sample_bucket, stratified_hash_sample
@@ -46,6 +51,7 @@ __all__ = [
     "remove_nodes", "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
     "char_ngram_lm", "lm_score",
+    "fit_quality_lr", "score_quality_lr", "seed_quality_weights",
     "bcubed", "classification_metrics", "mean_average_precision",
     "candidate_ranker", "validate_ranker_args",
     "train_val_test_split",
