@@ -26,7 +26,14 @@ stage shrinks the next stage's input:
                         the (already deduped) corpus, drop docs whose
                         mean NLL exceeds --lm-max-nll nats
                         (--lm-ngram, 0 = off)
-  8. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
+  8. classifier gate  — GPT-3-style model-based quality filter
+                        (--qlr-reference): fit a hashing-trick LR with
+                        the reference docs as positives and a
+                        deterministic hash sample of the corpus as
+                        negatives (Brown et al. 2020 Appendix A:
+                        WebText vs Common Crawl), keep docs scoring
+                        >= --qlr-threshold-micro
+  9. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
                         verify → connected components → keep cluster
                         min-id, or the best member by --keep-best
 
@@ -115,6 +122,28 @@ def main() -> None:
                     help="salt for the LM fit sample — distinct from "
                          "--sample-salt so the fit slice is "
                          "independent of the subsample stage")
+    ap.add_argument("--qlr-reference",
+                    help="parquet path of reference-quality documents "
+                         "(positives) — enables the GPT-3-style "
+                         "classifier quality gate")
+    ap.add_argument("--qlr-ref-text-col",
+                    help="text column in the reference table "
+                         "(defaults to --text-col)")
+    ap.add_argument("--qlr-neg-fraction", type=float, default=0.01,
+                    help="deterministic hash-sample fraction of the "
+                         "deduped corpus used as classifier negatives")
+    ap.add_argument("--qlr-features", type=int, default=4096,
+                    help="hashing-trick feature-space width")
+    ap.add_argument("--qlr-iters", type=int, default=30,
+                    help="full-batch GD iterations (one map-combined "
+                         "corpus-sample pass each)")
+    ap.add_argument("--qlr-learning-rate", type=float, default=1.0)
+    ap.add_argument("--qlr-threshold-micro", type=int, default=0,
+                    help="keep docs with logit_micro >= this "
+                         "(0 = classifier probability 0.5)")
+    ap.add_argument("--qlr-salt", default="qlrneg",
+                    help="salt for the negatives sample — independent "
+                         "of the other sampling stages")
     ap.add_argument("--near-method", choices=["minhash", "simhash"],
                     default="minhash",
                     help="near-dup detector: MinHash/Jaccard (longer "
@@ -161,6 +190,13 @@ def main() -> None:
             ap.error("--lm-fit-fraction must be in (0, 1]")
         if args.lm_min_count < 1:
             ap.error("--lm-min-count must be >= 1")
+    if args.qlr_reference:
+        if not 0.0 < args.qlr_neg_fraction <= 1.0:
+            ap.error("--qlr-neg-fraction must be in (0, 1]")
+        if args.qlr_features < 2:
+            ap.error("--qlr-features must be >= 2")
+        if args.qlr_iters < 1:
+            ap.error("--qlr-iters must be >= 1")
     if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
         ap.error("--sample-fraction must be in [0, 1]")
     if args.sample_rates and not args.sample_strata_col:
@@ -372,6 +408,48 @@ def main() -> None:
         df = checkpoint("after_lm_filter", df.join(keep, args.id_col))
         if not args.no_metrics:
             lm.unpersist()
+
+    if args.qlr_reference:
+        from deezymatch_spark.operators import fit_quality_lr, score_quality_lr
+
+        # GPT-3's construction (Brown et al. 2020 Appendix A): the
+        # trusted reference is the positive class, a deterministic
+        # sample of the (already deduped) corpus is the negative class
+        ref_text = args.qlr_ref_text_col or args.text_col
+        pos = (
+            spark.read.parquet(args.qlr_reference)
+            .select(F.col(ref_text).alias("_t"), F.lit(1).alias("_y"))
+        )
+        neg_src = (
+            df
+            if args.qlr_neg_fraction >= 1.0
+            else hash_sample(df, args.id_col, args.qlr_neg_fraction,
+                             salt=args.qlr_salt)
+        )
+        neg = neg_src.select(F.col(args.text_col).alias("_t"),
+                             F.lit(0).alias("_y"))
+        # the trainer re-reads its input once per iteration — persist
+        # the (reference + sample)-sized training frame, never the corpus
+        train = pos.unionByName(neg).persist()
+        try:
+            weights = fit_quality_lr(
+                train, "_t", "_y",
+                n_features=args.qlr_features,
+                iters=args.qlr_iters,
+                learning_rate=args.qlr_learning_rate,
+            )
+        finally:
+            train.unpersist()
+        keep = (
+            score_quality_lr(
+                df, args.id_col, args.text_col, weights,
+                n_features=args.qlr_features,
+                threshold_micro=args.qlr_threshold_micro,
+            )
+            .where(F.col("keep"))
+            .select(args.id_col)
+        )
+        df = checkpoint("after_quality_filter", df.join(keep, args.id_col))
 
     if not args.skip_near_dedup:
         if args.near_method == "minhash":

@@ -93,6 +93,9 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     # benchmark containing doc 6's text -> decontamination drops doc 6
     benchd = str(tmp_path / "bench_in")
     corpus.where("doc_id = 6").select("text").write.parquet(benchd)
+    # classifier-gate reference: the corpus's own prose as positives
+    refd = str(tmp_path / "qlr_ref")
+    corpus.select("text").write.parquet(refd)
 
     zip_base = str(tmp_path / "deezymatch_spark")
     shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
@@ -127,6 +130,12 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             # semantics themselves are covered by test_lm_stage_gates
             "--lm-ngram", "3", "--lm-max-nll", "20.0",
             "--lm-fit-fraction", "1.0",
+            # classifier gate wired e2e: few iterations, floor
+            # threshold so the stage runs but drops nothing — the
+            # filtering semantics are covered by test_qlr_stage_gates
+            "--qlr-reference", refd, "--qlr-neg-fraction", "1.0",
+            "--qlr-features", "128", "--qlr-iters", "3",
+            "--qlr-threshold-micro", "-100000000",
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
@@ -141,6 +150,7 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     assert metrics["after_decontamination"] == 3  # doc 6 quoted the benchmark
     assert metrics["lm_grams"] > 0
     assert metrics["after_lm_filter"] == 3  # threshold above the unseen floor
+    assert metrics["after_quality_filter"] == 3  # floor threshold keeps all
     assert metrics["output_rows"] == 2
     # keep-best: the {3,5} near-dup cluster keeps 5 (longer text), not min-id 3
     kept = sorted(
@@ -236,3 +246,69 @@ def test_sampling_and_keep_best_stage_chain(spark):
         max_block_size=500,
     )
     assert sorted(r.doc_id for r in kb.select("doc_id").collect()) == [5, 6]
+
+
+def test_qlr_stage_gates(spark):
+    """The classifier gate as the job chains it: reference docs are
+    positives, a hash sample of the corpus is negatives (GPT-3
+    Appendix A), then keep corpus docs with logit >= threshold. Prose
+    resembling the reference must survive; spam must not."""
+    from deezymatch_spark.operators import (
+        fit_quality_lr,
+        hash_sample,
+        score_quality_lr,
+    )
+
+    reference = [
+        "the committee approved the report after members discussed the findings",
+        "researchers described the method and explained how the results were obtained",
+        "the city council said the new library would open to the public next spring",
+        "she wrote that the study was consistent with earlier work on the subject",
+    ]
+    fluent = [
+        "the council said the report described how the library study was obtained",
+        "members explained the findings and the committee discussed the results",
+    ]
+    spam = [
+        "buy cheap pills casino bonus click here free free winner winner jackpot",
+        "cheap replica watches discount discount buy now limited offer click click",
+        "free ringtones hot deals subscribe now winner casino bonus claim prize",
+        "work from home earn cash now no experience click this link today offer",
+        "seo backlinks guaranteed ranking buy traffic cheap now discount jackpot",
+        "hot singles click free signup no credit card needed claim bonus now",
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(fluent + spam)],
+        "doc_id long, text string",
+    )
+    pos = spark.createDataFrame(
+        [(t,) for t in reference], "_t string"
+    ).withColumn("_y", F.lit(1))
+    neg = hash_sample(df, "doc_id", 1.0, salt="qlrneg").select(
+        F.col("text").alias("_t"), F.lit(0).alias("_y")
+    )
+    train = pos.unionByName(neg)
+    w = fit_quality_lr(train, "_t", "_y", n_features=256, iters=12,
+                       learning_rate=2.0)
+    scores = {
+        r.doc_id: r.logit_micro
+        for r in score_quality_lr(df, "doc_id", "text", w, n_features=256).collect()
+    }
+    # every scored doc was itself a training negative, so absolute
+    # logits sit below 0 — but reference-vocabulary docs band well
+    # above the spam. The job's gate is the --qlr-threshold-micro knob
+    # (GPT-3 likewise cut on the score, not on p=0.5): any threshold
+    # between the bands keeps exactly the fluent docs.
+    worst_fluent = min(scores[1], scores[2])
+    best_spam = max(v for k, v in scores.items() if k > 2)
+    assert worst_fluent > best_spam
+    thresh = (worst_fluent + best_spam) // 2
+    kept = sorted(
+        r.doc_id
+        for r in score_quality_lr(
+            df, "doc_id", "text", w, n_features=256, threshold_micro=thresh
+        )
+        .where(F.col("keep"))
+        .collect()
+    )
+    assert kept == [1, 2]
