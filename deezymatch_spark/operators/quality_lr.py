@@ -99,6 +99,8 @@ def score_quality_lr(
     practice they always fit) the same sum is one broadcast join away.
     ``n_feats`` excludes the bias pseudo-feature.
     """
+    if not weights_micro:
+        raise ValueError("score_quality_lr: empty weight table (fit first)")
     wmap = F.create_map(
         *[x for f, w in sorted(weights_micro.items())
           for x in (F.lit(int(f)).cast("long"), F.lit(int(w)).cast("long"))]
