@@ -38,10 +38,15 @@ def run_once(cores: int, n_pages: int) -> dict:
     )
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     if not lines:
+        err = out.stderr.strip().splitlines()
+        # the JVM-side Arrow EOF is a symptom (python worker died) —
+        # surface any python-side tracebacks too, not just the tail
+        hits = [ln for ln in err if re.search(
+            r"Error|Exception|Killed|MemoryError|Traceback", ln)][:40]
         raise RuntimeError(
             f"bench.py --cores {cores} --pages {n_pages} produced no JSON "
-            f"(rc={out.returncode}); stderr tail:\n"
-            + "\n".join(out.stderr.strip().splitlines()[-15:])
+            f"(rc={out.returncode}); error lines:\n" + "\n".join(hits)
+            + "\nstderr tail:\n" + "\n".join(err[-40:])
         )
     return json.loads(lines[-1])
 
