@@ -192,7 +192,13 @@ def main() -> None:
         "fixed-work probes — 4.0s at 8 cores, 14.7s at 2 — imply a "
         "0.92 substrate ratio between those two sessions, consistent "
         "with the 0.824 ceiling measured at record time, so the pair "
-        "is comparable).\n\n"
+        "is comparable). The r4-a/r4-b 32M rows share one dedicated "
+        "local[8] leg (208.195 s, idle box) and differ only in the "
+        "local[2] leg: r4-a's was a dedicated idle-box run (738.659 s), "
+        "r4-b's overlapped a 32-thread pytest suite yet came out FASTER "
+        "(637.154 s) — tenancy variance, not load, dominates at this "
+        "VM; both pairings are reported rather than picking the "
+        "flattering one.\n\n"
         "**Methodology break at r2-d.** Rows before `r2-d` were "
         "measured with best-of-3 reps that did NOT clear the Spark "
         "cache between reps; the pipeline persists its docs/keys "
