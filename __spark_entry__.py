@@ -1139,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- queries
         "canonical_urls": q_canonical_urls,
         "char_entropy": q_char_entropy,
+        "substring_dup_stats": q_substring_dup_stats,
         "ranker_full": q_ranker_full,
         "normalize_nfkd": q_normalize_nfkd,
     }
