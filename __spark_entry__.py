@@ -694,6 +694,39 @@ def q_char_entropy(spark, sf):
     )
 
 
+CHUNK_MAX_TOKENS = 32
+CHUNK_STRIDE = 8
+PACK_SEQ_LEN = 64
+PACK_BUCKETS = 8
+
+
+def q_doc_chunks(spark, sf):
+    """Sliding-window context chunking (operators/packing.py): fixed
+    max_tokens windows with stride overlap, HF return_overflowing_tokens
+    convention. Shuffle-free Project + posexplode, zero UDFs; the
+    oracle re-derives the window starts with list generate_series and
+    slices the same whitespace token array."""
+    from deezymatch_spark.operators import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        max_tokens=CHUNK_MAX_TOKENS, stride=CHUNK_STRIDE,
+    )
+
+
+def q_pack_layout(spark, sf):
+    """GPT-style concat-and-chunk packing layout (operators/packing.py):
+    per md5-bucket cumulative token sums cut every max_seq_len tokens.
+    One bucket-key shuffle carrying only (id, n_tokens); the oracle
+    replicates the layout with a SQL window cumsum."""
+    from deezymatch_spark.operators import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        max_seq_len=PACK_SEQ_LEN, n_buckets=PACK_BUCKETS, salt="pack",
+    )
+
+
 def q_quality_filter(spark, sf):
     """Model-based quality gate (operators/quality_lr.py): documents
     scored by the seed LR model — a constant trained at import time by
@@ -1140,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "char_entropy": q_char_entropy,
         "substring_dup_stats": q_substring_dup_stats,
+        "doc_chunks": q_doc_chunks,
+        "pack_layout": q_pack_layout,
         "ranker_full": q_ranker_full,
         "normalize_nfkd": q_normalize_nfkd,
     }
@@ -1754,6 +1789,43 @@ def oracle_sql() -> dict[str, str]:
               cast((-coalesce(cnt.slp, 0)) // greatest(coalesce(cnt.n_grams, 0), 1) as bigint)
                 as nll_micro
             from d left join cnt using (doc_id)""",
+        "doc_chunks": f"""
+            with t as (select doc_id,
+                         list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '') as toks
+                       from documents),
+                 k as (select doc_id, toks,
+                         1 + cast(ceil(greatest(len(toks) - {CHUNK_MAX_TOKENS}, 0)
+                                       / {CHUNK_MAX_TOKENS - CHUNK_STRIDE}.0) as int) as nc
+                       from t where len(toks) > 0),
+                 g as (select doc_id, toks,
+                         unnest(generate_series(0, nc - 1)) as chunk_id
+                       from k)
+            select doc_id, cast(chunk_id as bigint) as chunk_id,
+                   cast(len(list_slice(toks,
+                          chunk_id * {CHUNK_MAX_TOKENS - CHUNK_STRIDE} + 1,
+                          chunk_id * {CHUNK_MAX_TOKENS - CHUNK_STRIDE} + {CHUNK_MAX_TOKENS}))
+                        as bigint) as n_tokens,
+                   array_to_string(list_slice(toks,
+                          chunk_id * {CHUNK_MAX_TOKENS - CHUNK_STRIDE} + 1,
+                          chunk_id * {CHUNK_MAX_TOKENS - CHUNK_STRIDE} + {CHUNK_MAX_TOKENS}),
+                        ' ') as chunk_text
+            from g""",
+        "pack_layout": f"""
+            with t as (select doc_id,
+                         cast(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                              x -> x <> '')) as bigint) as n_tokens,
+                         cast(('0x'||substr(md5('pack:'||cast(doc_id as varchar)),1,15))
+                              as bigint) % {PACK_BUCKETS} as bucket
+                       from documents),
+                 s as (select doc_id, n_tokens, bucket,
+                         sum(n_tokens) over (partition by bucket order by doc_id)
+                           - n_tokens as st
+                       from t)
+            select doc_id, n_tokens, cast(bucket as bigint) as bucket,
+                   cast(bucket * {1 << 40} + st // {PACK_SEQ_LEN} as bigint) as seq_id,
+                   cast(st % {PACK_SEQ_LEN} as bigint) as seq_offset
+            from s""",
         "hash_sample": """
             select doc_id from documents
             where cast(('0x'||substr(md5('s1:'||cast(doc_id as varchar)),1,15)) as bigint)
