@@ -287,8 +287,12 @@ def main() -> None:
             extras["pairs_scored"] = n_pairs
             extras["pairs_per_sec"] = round(n_pairs / el, 1)
         else:
-            # best-of-2 for the cheap queries too (same tenancy rationale)
-            fn = qs[name]
+            # best-of-2 for the cheap queries too (same tenancy rationale).
+            # Fall back to the module-level q_* functions for constituent
+            # queries that were merged into composite contract entries
+            # (e.g. sq_l2_topk -> vector_topk) so bench metric names stay
+            # comparable across rounds.
+            fn = qs.get(name) or getattr(E, f"q_{name}")
             els = []
             for _ in range(2):
                 t1 = time.time()
