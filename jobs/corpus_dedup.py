@@ -36,6 +36,17 @@ stage shrinks the next stage's input:
   9. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
                         verify → connected components → keep cluster
                         min-id, or the best member by --keep-best
+  10. sequence prep   — the hand-off to the tokenizer. EITHER
+                        --chunk-max-tokens (BERT/T5-style sliding
+                        windows: the output rows become chunk units
+                        with columns [id, chunk_id, n_tokens, text])
+                        OR --pack-seq-len (GPT-style concat-and-chunk:
+                        the cleaned corpus is written unchanged and
+                        the packing LAYOUT — id → (bucket, seq_id,
+                        seq_offset) — is written to --layout-output).
+                        Mutually exclusive: packing orders documents
+                        by id within each bucket, and a chunked corpus
+                        no longer has a unique id per row.
 
 Ship + run:
 
@@ -157,6 +168,28 @@ def main() -> None:
                          "would overflow the BIGINT literal)")
     ap.add_argument("--hamming-max", type=int, default=3,
                     help="simhash near-dup bit distance (< bands)")
+    ap.add_argument("--chunk-max-tokens", type=int, default=0,
+                    help="rewrite the cleaned corpus as sliding-window "
+                         "chunks of at most N whitespace tokens "
+                         "(0 = off; BERT/T5-style sequence prep)")
+    ap.add_argument("--chunk-stride", type=int, default=0,
+                    help="token overlap between consecutive chunks "
+                         "(HF return_overflowing_tokens convention)")
+    ap.add_argument("--pack-seq-len", type=int, default=0,
+                    help="emit a GPT-style concat-and-chunk packing "
+                         "layout cut every N tokens to --layout-output "
+                         "(0 = off); the cleaned corpus itself is "
+                         "written unchanged")
+    ap.add_argument("--pack-buckets", type=int, default=64,
+                    help="independent md5 packing buckets; size so one "
+                         "bucket's (id, n_tokens) rows fit a single "
+                         "task's linear window scan")
+    ap.add_argument("--pack-salt", default="pack",
+                    help="bucket-assignment salt (distinct salts give "
+                         "independent layouts)")
+    ap.add_argument("--layout-output",
+                    help="parquet path for the packing layout "
+                         "(required with --pack-seq-len)")
     ap.add_argument("--max-block-size", type=int, default=500)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-near-dedup", action="store_true")
@@ -197,6 +230,24 @@ def main() -> None:
             ap.error("--qlr-features must be >= 2")
         if args.qlr_iters < 1:
             ap.error("--qlr-iters must be >= 1")
+    if args.chunk_max_tokens < 0 or args.pack_seq_len < 0:
+        ap.error("--chunk-max-tokens / --pack-seq-len must be >= 0")
+    if args.chunk_max_tokens and args.pack_seq_len:
+        ap.error("--chunk-max-tokens and --pack-seq-len are mutually "
+                 "exclusive: packing orders documents by --id-col within "
+                 "each bucket, and a chunked corpus no longer has a "
+                 "unique id per row")
+    if args.chunk_max_tokens and not (
+        0 <= args.chunk_stride < args.chunk_max_tokens
+    ):
+        ap.error("--chunk-stride must satisfy 0 <= stride < "
+                 "--chunk-max-tokens")
+    if args.pack_seq_len:
+        if not args.layout_output:
+            ap.error("--pack-seq-len needs --layout-output (the layout "
+                     "is a separate table from the cleaned corpus)")
+        if args.pack_buckets < 1:
+            ap.error("--pack-buckets must be >= 1")
     if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
         ap.error("--sample-fraction must be in [0, 1]")
     if args.sample_rates and not args.sample_strata_col:
@@ -498,6 +549,35 @@ def main() -> None:
                 max_block_size=args.max_block_size,
                 **kw,
             )
+
+    if args.chunk_max_tokens:
+        from deezymatch_spark.operators import chunk_documents
+
+        # the output table's unit changes here: one row per chunk,
+        # (id, chunk_id) composite key, text replaced by the chunk
+        df = checkpoint(
+            "after_chunking",
+            chunk_documents(
+                df, args.id_col, args.text_col,
+                max_tokens=args.chunk_max_tokens, stride=args.chunk_stride,
+            ).withColumnRenamed("chunk_text", args.text_col),
+        )
+
+    if args.pack_seq_len:
+        from deezymatch_spark.operators import pack_sequences
+
+        layout = pack_sequences(
+            df, args.id_col, args.text_col,
+            max_seq_len=args.pack_seq_len,
+            n_buckets=args.pack_buckets,
+            salt=args.pack_salt,
+        )
+        layout.write.mode("overwrite").parquet(args.layout_output)
+        written_layout = spark.read.parquet(args.layout_output)
+        metrics["layout_rows"] = written_layout.count()
+        metrics["layout_sequences"] = (
+            written_layout.select("seq_id").distinct().count()
+        )
 
     df.write.mode("overwrite").parquet(args.output)
     metrics["output_rows"] = spark.read.parquet(args.output).count()

@@ -136,6 +136,10 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             "--qlr-reference", refd, "--qlr-neg-fraction", "1.0",
             "--qlr-features", "128", "--qlr-iters", "3",
             "--qlr-threshold-micro", "-100000000",
+            # sequence-prep stage wired e2e: GPT-style packing layout
+            # written next to the cleaned corpus
+            "--pack-seq-len", "16", "--pack-buckets", "4",
+            "--layout-output", str(tmp_path / "layout_out"),
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
@@ -157,6 +161,80 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(outd).select("doc_id").collect()
     )
     assert kept == [2, 5]
+    # packing layout: one row per surviving doc, offsets within the cut
+    assert metrics["layout_rows"] == 2
+    assert metrics["layout_sequences"] >= 1
+    layout = spark.read.parquet(str(tmp_path / "layout_out"))
+    assert sorted(layout.columns) == [
+        "bucket", "doc_id", "n_tokens", "seq_id", "seq_offset"
+    ]
+    for r in layout.collect():
+        assert 0 <= r.seq_offset < 16 and 0 <= r.bucket < 4
+
+
+def test_sequence_prep_flag_validation(tmp_path):
+    """chunk and pack are mutually exclusive; pack needs --layout-output.
+    argparse rejects both before any Spark time is spent."""
+    base = [
+        sys.executable, os.path.join(REPO, "jobs", "corpus_dedup.py"),
+        "--input", "x", "--output", "y",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r1 = subprocess.run(
+        base + ["--chunk-max-tokens", "8", "--pack-seq-len", "16",
+                "--layout-output", "z"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r1.returncode == 2 and "mutually" in r1.stderr
+    r2 = subprocess.run(
+        base + ["--pack-seq-len", "16"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r2.returncode == 2 and "--layout-output" in r2.stderr
+    r3 = subprocess.run(
+        base + ["--chunk-max-tokens", "8", "--chunk-stride", "8"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r3.returncode == 2 and "--chunk-stride" in r3.stderr
+
+
+def test_chunking_stage_spark_submit(spark, tmp_path):
+    """--chunk-max-tokens rewrites the cleaned corpus as chunk units:
+    one row per sliding window, text column renamed back to --text-col."""
+    inp = str(tmp_path / "docs_in")
+    _corpus(spark).write.parquet(inp)
+    zip_base = str(tmp_path / "deezymatch_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
+    outd = str(tmp_path / "chunk_out")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_base + ".zip",
+            os.path.join(REPO, "jobs", "corpus_dedup.py"),
+            "--input", inp, "--output", outd,
+            "--skip-near-dedup",
+            "--chunk-max-tokens", "8", "--chunk-stride", "2",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    line = next(l for l in res.stdout.splitlines() if l.startswith('{"job"'))
+    metrics = json.loads(line)
+    # exact dedup collapses 3/4; 5 surviving docs, each 10-13 words ->
+    # ceil-windowed into 2-3 chunks apiece
+    assert metrics["after_exact_dedup"] == 5
+    assert metrics["after_chunking"] == metrics["output_rows"] > 5
+    out = spark.read.parquet(outd)
+    assert {"doc_id", "chunk_id", "n_tokens", "text"} == set(out.columns)
+    assert out.where("n_tokens > 8").count() == 0
 
 
 def test_substring_stage_rewrites_text(spark):
