@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import md5_long
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "materialize_sequences", "pack_sequences"]
 
 # sequence ids are bucket * 2^40 + seq_in_bucket: 2^40 sequences per
 # bucket before collision (a bucket with 2^40 max-length-2048 sequences
@@ -164,4 +164,107 @@ def pack_sequences(
             + F.floor(F.col("_start") / max_seq_len)
         ).cast("long").alias("seq_id"),
         (F.col("_start") % max_seq_len).cast("long").alias("seq_offset"),
+    )
+
+
+def materialize_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_seq_len: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "pack",
+    pad_token: str | None = None,
+) -> DataFrame:
+    """→ [bucket, seq_id, n_tokens, tokens] — the actual packed
+    sequences under the :func:`pack_sequences` layout (same bucket,
+    order, and cut arithmetic, so ``seq_id`` values line up with the
+    layout table exactly).
+
+    Every sequence holds exactly ``max_seq_len`` tokens except each
+    bucket's final one, which holds the tail (padded with ``pad_token``
+    up to ``max_seq_len`` when given). Concatenating a bucket's
+    sequences in ``seq_id`` order reproduces the concatenation of its
+    documents' tokens in ``id_col`` order — the GPT-2/3 concat-and-chunk
+    contract, property-tested.
+
+    Scale shape: documents straddling a cut are split into per-sequence
+    pieces by pure slice arithmetic (posexplode over the covered
+    sequence range — zero UDFs), then pieces are assembled per sequence.
+    ONE exchange total: the window partitions by ``bucket``, and the
+    piece groupBy keys on ``(bucket, seq)`` — a superset of the window's
+    partitioning, which already clusters it, so Catalyst inserts no
+    second shuffle (plan-asserted in tests). That one exchange carries
+    the tokenized corpus — unavoidable, it IS the materialization — and
+    each bucket streams through a single linear scan, so parallelism =
+    ``n_buckets`` with no global sort anywhere.
+    """
+    if max_seq_len <= 0:
+        raise ValueError(
+            f"materialize_sequences: max_seq_len must be > 0, got {max_seq_len}"
+        )
+    if n_buckets <= 0:
+        raise ValueError(
+            f"materialize_sequences: n_buckets must be > 0, got {n_buckets}"
+        )
+    L = max_seq_len
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _tokens(F.col(text_col)).alias("_toks"),
+        (md5_long(F.col(id_col), salt) % n_buckets).cast("long").alias("bucket"),
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    w = Window.partitionBy("bucket").orderBy("_id")
+    placed = (
+        base.withColumn("_start", F.sum("_n").over(w) - F.col("_n"))
+        .where(F.col("_n") > 0)
+        .withColumn("_first", F.floor(F.col("_start") / L))
+        .withColumn("_last", F.floor((F.col("_start") + F.col("_n") - 1) / L))
+    )
+    # one row per (document, covered sequence): the slice of the doc's
+    # tokens that lands in that sequence, and its offset within it
+    piece_from = F.greatest(F.col("_seq") * L - F.col("_start"), F.lit(0))
+    piece_to = F.least((F.col("_seq") + 1) * L - F.col("_start"), F.col("_n"))
+    pieces = placed.select(
+        "bucket",
+        F.explode(F.sequence("_first", "_last")).alias("_seq"),
+        "_toks",
+        "_start",
+        "_n",
+    ).select(
+        "bucket",
+        "_seq",
+        F.greatest(F.col("_start") - F.col("_seq") * L, F.lit(0)).alias("_off"),
+        F.slice(
+            "_toks", (piece_from + 1).cast("int"), (piece_to - piece_from).cast("int")
+        ).alias("_piece"),
+    )
+    assembled = (
+        pieces.groupBy("bucket", "_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_off"), F.col("_piece")))
+            ).alias("_parts")
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(_SEQ_STRIDE) + F.col("_seq"))
+            .cast("long")
+            .alias("seq_id"),
+            F.flatten(F.col("_parts._piece")).alias("tokens"),
+        )
+    )
+    if pad_token is not None:
+        assembled = assembled.withColumn(
+            "tokens",
+            F.concat(
+                F.col("tokens"),
+                F.array_repeat(F.lit(pad_token), L - F.size("tokens")),
+            ),
+        )
+    return assembled.select(
+        "bucket",
+        "seq_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
     )

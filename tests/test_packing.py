@@ -1,9 +1,14 @@
-"""chunk_documents / pack_sequences — layout correctness + determinism."""
+"""chunk_documents / pack_sequences / materialize_sequences —
+layout correctness, concat-and-chunk laws, determinism."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from deezymatch_spark.operators import chunk_documents, pack_sequences
+from deezymatch_spark.operators import (
+    chunk_documents,
+    materialize_sequences,
+    pack_sequences,
+)
 
 @pytest.fixture(scope="module")
 def docs(spark):
@@ -122,3 +127,142 @@ def test_pack_plan_single_exchange_no_python(spark, docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+def _bucket_streams(docs_rows, out_rows, L):
+    """(expected concatenated token stream per bucket from the layout
+    law, actual stream per bucket from the materialized sequences)."""
+    by_bucket_docs = {}
+    for r in out_rows:
+        by_bucket_docs.setdefault(r.bucket, []).append(r)
+    return by_bucket_docs
+
+
+def test_materialize_concat_and_chunk_law(spark, docs):
+    """Per bucket: flatten(sequences in seq_id order) == concat of the
+    bucket's documents' tokens in id order; every sequence is exactly L
+    tokens except the bucket tail."""
+    L = 5
+    seqs = materialize_sequences(
+        docs, "doc_id", "text", max_seq_len=L, n_buckets=2
+    ).collect()
+    layout = pack_sequences(
+        docs, "doc_id", "text", max_seq_len=L, n_buckets=2
+    ).collect()
+    src = {r.doc_id: _tok(r.text) for r in docs.collect()}
+    buckets = {r.bucket for r in layout}
+    for b in buckets:
+        want = []
+        for r in sorted((r for r in layout if r.bucket == b),
+                        key=lambda r: r.doc_id):
+            want.extend(src[r.doc_id])
+        rows = sorted((r for r in seqs if r.bucket == b),
+                      key=lambda r: r.seq_id)
+        got = [t for r in rows for t in r.tokens]
+        assert got == want
+        for r in rows[:-1]:
+            assert r.n_tokens == L
+        if rows:
+            assert 1 <= rows[-1].n_tokens <= L
+        # seq ids are the layout's ids: dense from the bucket base
+        assert [r.seq_id for r in rows] == [
+            b * (1 << 40) + i for i in range(len(rows))
+        ]
+
+
+def test_materialize_agrees_with_layout_offsets(spark, docs):
+    """Each non-empty document's first token sits at (seq_id,
+    seq_offset) per the layout table."""
+    L = 4
+    seqs = {
+        r.seq_id: r.tokens
+        for r in materialize_sequences(
+            docs, "doc_id", "text", max_seq_len=L, n_buckets=3
+        ).collect()
+    }
+    src = {r.doc_id: _tok(r.text) for r in docs.collect()}
+    for r in pack_sequences(
+        docs, "doc_id", "text", max_seq_len=L, n_buckets=3
+    ).collect():
+        if r.n_tokens == 0:
+            continue
+        assert seqs[r.seq_id][r.seq_offset] == src[r.doc_id][0]
+
+
+def test_materialize_pad_token(spark, docs):
+    L = 7
+    rows = materialize_sequences(
+        docs, "doc_id", "text", max_seq_len=L, n_buckets=2,
+        pad_token="<pad>",
+    ).collect()
+    for r in rows:
+        assert r.n_tokens == L
+        assert len(r.tokens) == L
+        body = [t for t in r.tokens if t != "<pad>"]
+        assert r.tokens[: len(body)] == body  # pads only at the end
+
+
+def test_materialize_deterministic_under_repartition(spark, docs):
+    a = materialize_sequences(docs, "doc_id", "text",
+                              max_seq_len=6, n_buckets=4)
+    b = materialize_sequences(docs.repartition(5, "text"), "doc_id", "text",
+                              max_seq_len=6, n_buckets=4)
+    key = lambda r: (r.bucket, r.seq_id, tuple(r.tokens))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_materialize_plan_single_exchange_no_python(spark, docs):
+    """The piece groupBy keys on (bucket, _seq) — a superset of the
+    window's bucket partitioning — so Catalyst reuses the one exchange."""
+    plan = materialize_sequences(
+        docs, "doc_id", "text", max_seq_len=64, n_buckets=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_materialize_duckdb_oracle(spark, docs):
+    """Cross-engine check (the contract dict is capped at 50 entries, so
+    this oracle lives here): DuckDB re-derives the packed sequences with
+    the same md5 bucketing, window cumsum, and slice arithmetic."""
+    import duckdb
+
+    L, B = 5, 2
+    got = sorted(
+        (r.bucket, r.seq_id, tuple(r.tokens))
+        for r in materialize_sequences(
+            docs, "doc_id", "text", max_seq_len=L, n_buckets=B, salt="pack"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    rows = con.execute(f"""
+        with t as (select doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') as toks,
+                     cast(('0x'||substr(md5('pack:'||cast(doc_id as varchar)),1,15))
+                          as bigint) % {B} as bucket
+                   from docs),
+             s as (select doc_id, toks, bucket, len(toks) as n,
+                     sum(len(toks)) over (partition by bucket order by doc_id)
+                       - len(toks) as st
+                   from t),
+             nz as (select doc_id, toks, bucket, n,
+                      cast(st as bigint) as st,
+                      cast(st // {L} as bigint) as first_seq,
+                      cast((st + n - 1) // {L} as bigint) as last_seq
+                    from s where n > 0),
+             pieces as (select bucket, sq as seq,
+                          greatest(st - sq*{L}, 0) as off,
+                          toks[greatest(sq*{L} - st, 0) + 1 :
+                               least((sq+1)*{L} - st, n)] as piece
+                        from nz, unnest(generate_series(first_seq, last_seq))
+                             as u(sq)),
+             asm as (select bucket, seq,
+                       flatten(list(piece order by off)) as tokens
+                     from pieces group by bucket, seq)
+        select bucket, bucket * {1 << 40} + seq as seq_id, tokens
+        from asm
+    """).fetchall()
+    want = sorted((b, s, tuple(tk)) for b, s, tk in rows)
+    assert got == want
