@@ -43,7 +43,10 @@ stage shrinks the next stage's input:
                         OR --pack-seq-len (GPT-style concat-and-chunk:
                         the cleaned corpus is written unchanged and
                         the packing LAYOUT — id → (bucket, seq_id,
-                        seq_offset) — is written to --layout-output).
+                        seq_offset) — is written to --layout-output;
+                        --sequences-output additionally materializes
+                        the packed token sequences themselves,
+                        --pad-token padding each bucket's tail).
                         Mutually exclusive: packing orders documents
                         by id within each bucket, and a chunked corpus
                         no longer has a unique id per row.
@@ -190,6 +193,14 @@ def main() -> None:
     ap.add_argument("--layout-output",
                     help="parquet path for the packing layout "
                          "(required with --pack-seq-len)")
+    ap.add_argument("--sequences-output",
+                    help="also materialize the packed token sequences "
+                         "(bucket, seq_id, n_tokens, tokens) to this "
+                         "parquet path (needs --pack-seq-len)")
+    ap.add_argument("--pad-token", default=None,
+                    help="pad each bucket's tail sequence to "
+                         "--pack-seq-len with this token when "
+                         "materializing")
     ap.add_argument("--max-block-size", type=int, default=500)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-near-dedup", action="store_true")
@@ -248,6 +259,11 @@ def main() -> None:
                      "is a separate table from the cleaned corpus)")
         if args.pack_buckets < 1:
             ap.error("--pack-buckets must be >= 1")
+    if args.sequences_output and not args.pack_seq_len:
+        ap.error("--sequences-output needs --pack-seq-len")
+    if args.pad_token is not None and not args.sequences_output:
+        ap.error("--pad-token only applies when materializing "
+                 "(--sequences-output)")
     if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
         ap.error("--sample-fraction must be in [0, 1]")
     if args.sample_rates and not args.sample_strata_col:
@@ -578,6 +594,19 @@ def main() -> None:
         metrics["layout_sequences"] = (
             written_layout.select("seq_id").distinct().count()
         )
+        if args.sequences_output:
+            from deezymatch_spark.operators import materialize_sequences
+
+            materialize_sequences(
+                df, args.id_col, args.text_col,
+                max_seq_len=args.pack_seq_len,
+                n_buckets=args.pack_buckets,
+                salt=args.pack_salt,
+                pad_token=args.pad_token,
+            ).write.mode("overwrite").parquet(args.sequences_output)
+            metrics["sequence_rows"] = (
+                spark.read.parquet(args.sequences_output).count()
+            )
 
     df.write.mode("overwrite").parquet(args.output)
     metrics["output_rows"] = spark.read.parquet(args.output).count()

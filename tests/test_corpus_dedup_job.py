@@ -136,10 +136,12 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             "--qlr-reference", refd, "--qlr-neg-fraction", "1.0",
             "--qlr-features", "128", "--qlr-iters", "3",
             "--qlr-threshold-micro", "-100000000",
-            # sequence-prep stage wired e2e: GPT-style packing layout
-            # written next to the cleaned corpus
+            # sequence-prep stage wired e2e: GPT-style packing layout +
+            # materialized padded sequences written next to the corpus
             "--pack-seq-len", "16", "--pack-buckets", "4",
             "--layout-output", str(tmp_path / "layout_out"),
+            "--sequences-output", str(tmp_path / "seq_out"),
+            "--pad-token", "<pad>",
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
@@ -170,6 +172,17 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     ]
     for r in layout.collect():
         assert 0 <= r.seq_offset < 16 and 0 <= r.bucket < 4
+    # materialized sequences: padded to exactly --pack-seq-len; together
+    # they hold every surviving doc's tokens plus the pads
+    seqs = spark.read.parquet(str(tmp_path / "seq_out")).collect()
+    assert metrics["sequence_rows"] == len(seqs) >= 1
+    assert all(r.n_tokens == 16 and len(r.tokens) == 16 for r in seqs)
+    kept_tokens = sum(
+        len(r.text.split())
+        for r in spark.read.parquet(outd).collect()
+    )
+    body = sum(1 for r in seqs for t in r.tokens if t != "<pad>")
+    assert body == kept_tokens
 
 
 def test_sequence_prep_flag_validation(tmp_path):
