@@ -169,7 +169,10 @@ def fit_quality_lr(
             if wmap is not None
             else F.lit(0).cast("long")
         )
-        resid = F.round(
+        # bround = HALF_EVEN, matching the Python twin's built-in
+        # round(); F.round (HALF_UP) would diverge by a full micro-unit
+        # on exact .5 ties and drift the two trainers apart
+        resid = F.bround(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit.cast("double") / 1e6)) - F.col("_y"))
             * 1_000_000,
             0,

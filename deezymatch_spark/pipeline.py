@@ -68,6 +68,29 @@ def _is_done(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _touch_marker(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (Hadoop FS, so it works on object
+    stores like the _SUCCESS probe)."""
+    fs, hpath = _fs_path(spark, path)
+    fs.create(hpath, True).close()
+
+
+def _marker_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs_path(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _drop_marker(spark: SparkSession, path: str) -> None:
+    fs, hpath = _fs_path(spark, path)
+    fs.delete(hpath, False)
+
+
 def _materialize(
     spark: SparkSession, df: DataFrame, work_dir: str | None, name: str
 ) -> DataFrame:
@@ -304,10 +327,21 @@ def incremental_er(
     ``_next``/``_old`` present) and re-running the SAME call is
     idempotent, so the state is never bricked — deletion re-runs see
     already-filtered tables and re-filter them to the same result.
+
+    Two durable markers in ``state_dir`` keep DELETIONS from running
+    against an edge table that does not reflect the clustering:
+    ``_PARTIAL_EDGES`` (the edges table was started from a delta over a
+    pre-lineage state, so it misses the bootstrap-era edges — deletions
+    raise until re-bootstrap) and ``_INGEST_PENDING`` (set before an
+    ingest's edge append, cleared after its cluster swap — a deletion
+    attempted in that crashed window raises and tells the caller to
+    re-run the ingest, which heals idempotently and clears the marker).
     """
     docs_path = os.path.join(state_dir, "docs")
     edges_path = os.path.join(state_dir, "edges")
     clusters_path = os.path.join(state_dir, "clusters")
+    partial_marker = os.path.join(state_dir, "_PARTIAL_EDGES")
+    pending_marker = os.path.join(state_dir, "_INGEST_PENDING")
 
     for p in (clusters_path, edges_path, docs_path):
         _finish_cluster_swap(spark, p)
@@ -331,6 +365,10 @@ def incremental_er(
             "overwrite"
         ).parquet(docs_path)
         st["release"]()
+        # a fresh bootstrap has complete lineage and no ingest in
+        # flight — clear stale markers from any previous life of the dir
+        for m in (partial_marker, pending_marker):
+            _drop_marker(spark, m)
         return _er_assignment(
             spark.read.parquet(docs_path), spark.read.parquet(clusters_path)
         )
@@ -341,6 +379,21 @@ def incremental_er(
                 "incremental_er: this state has no edge lineage table "
                 f"({edges_path}) — it predates deletion support; "
                 "re-bootstrap to make it deletable"
+            )
+        if _marker_exists(spark, partial_marker):
+            raise RuntimeError(
+                "incremental_er: the edge lineage table is PARTIAL — it "
+                "was started from a delta over a pre-lineage state, so "
+                "it misses the bootstrap-era edges and deletions would "
+                "silently split components; re-bootstrap to make this "
+                "state deletable"
+            )
+        if _marker_exists(spark, pending_marker):
+            raise RuntimeError(
+                "incremental_er: a previous ingest crashed between its "
+                "edge append and cluster swap, so edges and clusters "
+                "disagree; re-run that ingest (idempotent — it heals "
+                "and clears the marker) before deleting"
             )
         dele = (
             deleted_ids.select(F.col(deleted_ids.columns[0]).alias("id"))
@@ -425,9 +478,16 @@ def incremental_er(
         )
         fresh = delta_edges.join(F.broadcast(known), ["src", "dst"], "left_anti")
     else:
-        # pre-lineage state: start the table from this delta onward
-        # (such a state remains non-deletable until re-bootstrapped)
+        # pre-lineage state: start the table from this delta onward.
+        # Such a state is non-deletable until re-bootstrapped — the
+        # durable marker makes the deletion guard enforce that even
+        # after this write gives the table a _SUCCESS stamp
+        _touch_marker(spark, partial_marker)
         fresh = delta_edges
+    # edges-append → cluster-swap is not atomic; the pending marker
+    # (set before the append, cleared after the swap) fences deletions
+    # out of the crashed window in between
+    _touch_marker(spark, pending_marker)
     fresh.write.mode("append").parquet(edges_path)
 
     updated = update_clusters(clusters_prev, delta_edges)
@@ -435,6 +495,7 @@ def incremental_er(
     release_persisted(scored_raw)
     delta_edges.unpersist()
     _swap_in(spark, clusters_path)
+    _drop_marker(spark, pending_marker)
     return _er_assignment(docs_all, spark.read.parquet(clusters_path))
 
 

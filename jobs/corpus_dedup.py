@@ -591,8 +591,21 @@ def main() -> None:
         layout.write.mode("overwrite").parquet(args.layout_output)
         written_layout = spark.read.parquet(args.layout_output)
         metrics["layout_rows"] = written_layout.count()
+        # number of packed sequences = sum over buckets of
+        # ceil(bucket_tokens / L). Counting distinct seq_id would
+        # UNDERCOUNT: layout seq_id is only the sequence a document
+        # STARTS in, so sequences fully covered by a long document's
+        # middle/tail have no layout row
         metrics["layout_sequences"] = (
-            written_layout.select("seq_id").distinct().count()
+            written_layout.groupBy("bucket")
+            .agg(F.sum("n_tokens").alias("_t"))
+            .where(F.col("_t") > 0)
+            .agg(
+                F.coalesce(
+                    F.sum(F.ceil(F.col("_t") / args.pack_seq_len)), F.lit(0)
+                ).alias("_s")
+            )
+            .collect()[0]["_s"]
         )
         if args.sequences_output:
             from deezymatch_spark.operators import materialize_sequences

@@ -176,6 +176,11 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     # they hold every surviving doc's tokens plus the pads
     seqs = spark.read.parquet(str(tmp_path / "seq_out")).collect()
     assert metrics["sequence_rows"] == len(seqs) >= 1
+    # the layout-derived sequence count must equal the number of
+    # sequences actually materialized (ceil(bucket_tokens/L) per
+    # bucket — NOT distinct layout seq_id, which misses sequences
+    # covered only by a long document's middle/tail)
+    assert metrics["layout_sequences"] == len(seqs)
     assert all(r.n_tokens == 16 and len(r.tokens) == 16 for r in seqs)
     kept_tokens = sum(
         len(r.text.split())

@@ -291,6 +291,54 @@ def test_incremental_er_delete_then_reingest_equals_batch(spark, tmp_path):
     assert {(r.url, r.entity_id) for r in a_back.collect()} == batch_all
 
 
+def test_incremental_er_delete_guards(spark, tmp_path):
+    """Deletions are fenced out of states whose edge lineage does not
+    reflect the clustering: (a) a lineage started from a delta over a
+    pre-lineage state (misses bootstrap-era edges) raises until
+    re-bootstrap; (b) an ingest crashed between its edge append and
+    cluster swap raises until that ingest is re-run, and the re-run
+    heals and clears the fence."""
+    import os
+    import shutil
+
+    from deezymatch_spark.pipeline import incremental_er
+    from deezymatch_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300, with_truth=False)
+    h = F.pmod(F.xxhash64("url"), F.lit(5))
+    first, second = pages.where(h != 0), pages.where(h == 0)
+    some_ids = pages.where(h == 1).select(F.xxhash64("url").alias("id"))
+    kw = dict(max_block_size=1_000_000)
+
+    # (a) pre-lineage state: bootstrap, drop edges (simulating a state
+    # from before edge lineage existed), ingest a delta — the delta
+    # seeds a PARTIAL edges table, so deletion must refuse even though
+    # the table now exists with a _SUCCESS stamp
+    state_a = str(tmp_path / "state_a")
+    incremental_er(spark, first, state_a, **kw)
+    shutil.rmtree(os.path.join(state_a, "edges"))
+    incremental_er(spark, second, state_a, **kw)
+    assert os.path.exists(os.path.join(state_a, "edges", "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="PARTIAL"):
+        incremental_er(spark, None, state_a, deleted_ids=some_ids, **kw)
+
+    # (b) crashed ingest window: edges appended, clusters not swapped —
+    # simulated by the durable _INGEST_PENDING fence the ingest sets
+    # before its append and clears after its swap
+    state_b = str(tmp_path / "state_b")
+    incremental_er(spark, first, state_b, **kw)
+    incremental_er(spark, second, state_b, **kw)
+    assert not os.path.exists(os.path.join(state_b, "_INGEST_PENDING"))
+    with open(os.path.join(state_b, "_INGEST_PENDING"), "w"):
+        pass
+    with pytest.raises(RuntimeError, match="re-run that ingest"):
+        incremental_er(spark, None, state_b, deleted_ids=some_ids, **kw)
+    # re-running the crashed ingest is idempotent, heals, and unfences
+    incremental_er(spark, second, state_b, **kw)
+    assert not os.path.exists(os.path.join(state_b, "_INGEST_PENDING"))
+    incremental_er(spark, None, state_b, deleted_ids=some_ids, **kw)
+
+
 def test_bcubed_scaled_range_guard(spark):
     """scaled=True must raise (not silently wrap the long) when a
     contingency cell exceeds the exact-integer range: n_pt²·10¹² < 2⁶³

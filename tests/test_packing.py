@@ -129,15 +129,6 @@ def test_pack_plan_single_exchange_no_python(spark, docs):
     assert "Python" not in plan
 
 
-def _bucket_streams(docs_rows, out_rows, L):
-    """(expected concatenated token stream per bucket from the layout
-    law, actual stream per bucket from the materialized sequences)."""
-    by_bucket_docs = {}
-    for r in out_rows:
-        by_bucket_docs.setdefault(r.bucket, []).append(r)
-    return by_bucket_docs
-
-
 def test_materialize_concat_and_chunk_law(spark, docs):
     """Per bucket: flatten(sequences in seq_id order) == concat of the
     bucket's documents' tokens in id order; every sequence is exactly L

@@ -9,8 +9,10 @@ against Spark's bigint ``123`` and diverges even though ``fetchall``
 agrees. This audit walks EVERY ``oracle_sql()`` entry through the
 pandas path and flags any output column whose fetched dtype falls
 outside the known-green families, cross-checked against the Spark
-query's declared schema (schema only — the Spark plan is analyzed, not
-executed, so the audit is cheap at any SF):
+query's declared schema. Only the schema is READ, but building some
+queries executes real Spark jobs (IVF/SemDeDup centroid collects, CC
+iterations, the full ER pipeline), so run this at a small SF —
+sf0.001/sf0.01 — not against big data:
 
 - oracle column fetches as float64/object while Spark declares an
   integral type  → the HUGEINT / Decimal / NULL-int coercion trap
