@@ -454,21 +454,39 @@ def q_quality_score(spark, sf):
     )
 
 
+# Decorates text with bullet lines, ellipsis line-ends, and '#'/'...'
+# symbols so the graded gopher_signals check exercises every branch
+# (the sf corpus itself has few of those). Evaluated VERBATIM by both
+# engines (F.expr / DuckDB) so the inputs match by construction —
+# same pattern as REP_EXPR_SQL / URL_EXPR_SQL.
+GOPHER_EXPR_SQL = (
+    "case when doc_id % 4 = 0 then '• bullet intro' || chr(10) else '' end"
+    " || text || "
+    "case when doc_id % 5 = 0 then"
+    " chr(10) || '- item one' || chr(10) || '* item two…' else '' end"
+    " || case when doc_id % 7 = 0 then ' ### trailing...' else '' end"
+)
+
+
 def q_text_signals(spark, sf):
     """Per-document text-curation signals — language ID, heuristic
-    quality score, char-entropy — as ONE scan with three projected
-    signal columns (how a real curation job computes them: side by
-    side over a single pass, all shuffle-free codegen expressions).
-    Merged from q_lang_id / q_quality_score / q_char_entropy (each
-    green r1-r3) to fit the 50-query grading window."""
-    from deezymatch_spark.functions import char_entropy
+    quality score, char-entropy, and the 8 Gopher rule-set inputs
+    (Rae et al. 2021 §A1.1: word shape, symbol/bullet/ellipsis
+    ratios, stopword floor; all exact BIGINT micros) — as ONE scan
+    with the signal columns projected side by side (how a real
+    curation job computes them: one pass, all shuffle-free codegen
+    expressions). Merged from q_lang_id / q_quality_score /
+    q_char_entropy (each green r1-r3) to fit the 50-query grading
+    window; gopher columns added r4."""
+    from deezymatch_spark.functions import char_entropy, gopher_signals
 
     return _t(spark, sf, "documents").select(
         "doc_id",
         lang_id(F.col("text")).alias("pred_lang"),
         quality_score(F.col("text")).alias("quality"),
         F.round(char_entropy(F.col("text")), 6).alias("entropy_bits"),
-    )
+        gopher_signals(F.expr(GOPHER_EXPR_SQL)).alias("g"),
+    ).select("doc_id", "pred_lang", "quality", "entropy_bits", "g.*")
 
 
 def q_jaro_winkler_pairs(spark, sf):
@@ -2112,12 +2130,52 @@ def oracle_sql() -> dict[str, str]:
         f"       band_key as key\n"
         f"from ({o.pop('lsh_band_keys')})"
     )
+    # gopher constituent: same word/line/ratio contract as
+    # functions/textstats.py:gopher_signals (words = \s+ split of
+    # lower(text), lines = non-empty space-trimmed chr(10) splits,
+    # ratios = exact (num*1e6) // max(den,1) bigints)
+    gopher_sql = f"""
+        with gsrc as (select doc_id, {GOPHER_EXPR_SQL} as text from documents),
+        gs as (select doc_id,
+            list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'), x -> x <> '') as words,
+            list_filter(list_transform(string_split(coalesce(text,''), chr(10)), l -> trim(l, ' ')), l -> l <> '') as lines,
+            coalesce(text,'') as t
+          from gsrc),
+        gc as (select doc_id,
+            cast(len(words) as bigint) as nw,
+            cast(coalesce(list_sum(list_transform(words, w -> length(w))), 0) as bigint) as sum_len,
+            cast(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) as bigint) as alpha,
+            cast((length(t) - length(replace(t, '#', '')))
+               + (length(t) - length(replace(t, '…', '')))
+               + (length(t) - length(replace(t, '...', ''))) // 3 as bigint) as sym,
+            cast(len(lines) as bigint) as nl,
+            cast(len(list_filter(lines, l -> starts_with(l, '•') or starts_with(l, '-') or starts_with(l, '*'))) as bigint) as bullets,
+            cast(len(list_filter(lines, l -> ends_with(l, '...') or ends_with(l, '…'))) as bigint) as ell,
+            cast(list_contains(words, 'the')::int + list_contains(words, 'be')::int
+               + list_contains(words, 'to')::int + list_contains(words, 'of')::int
+               + list_contains(words, 'and')::int + list_contains(words, 'that')::int
+               + list_contains(words, 'have')::int + list_contains(words, 'with')::int as bigint) as stops
+          from gs)
+        select doc_id,
+          nw as n_words,
+          (sum_len * 1000000) // greatest(nw, 1) as mean_word_len_micro,
+          (alpha * 1000000) // greatest(nw, 1) as alpha_word_frac_micro,
+          (sym * 1000000) // greatest(nw, 1) as symbol_word_ratio_micro,
+          nl as n_lines,
+          (bullets * 1000000) // greatest(nl, 1) as bullet_line_frac_micro,
+          (ell * 1000000) // greatest(nl, 1) as ellipsis_line_frac_micro,
+          stops as n_stopwords
+        from gc"""
     o["text_signals"] = (
         f"with L as ({o.pop('lang_id')}),\n"
         f"     Q as ({o.pop('quality_score')}),\n"
-        f"     E as ({o.pop('char_entropy')})\n"
-        f"select L.doc_id, pred_lang, quality, entropy_bits\n"
-        f"from L join Q using (doc_id) join E using (doc_id)"
+        f"     E as ({o.pop('char_entropy')}),\n"
+        f"     G as ({gopher_sql})\n"
+        f"select L.doc_id, pred_lang, quality, entropy_bits,\n"
+        f"       n_words, mean_word_len_micro, alpha_word_frac_micro,\n"
+        f"       symbol_word_ratio_micro, n_lines, bullet_line_frac_micro,\n"
+        f"       ellipsis_line_frac_micro, n_stopwords\n"
+        f"from L join Q using (doc_id) join E using (doc_id) join G using (doc_id)"
     )
     o["url_dedup"] = (
         f"with c as ({o.pop('canonical_urls')}),\n"

@@ -18,8 +18,10 @@ from .ngrams import (
     word_tokens,
 )
 from .textstats import (
+    GOPHER_STOPWORDS,
     bpe_token_count,
     doc_fingerprint,
+    gopher_signals,
     lang_id,
     punct_ratio,
     char_entropy,
@@ -50,6 +52,7 @@ __all__ = [
     "char_ngrams", "distinct_char_ngrams", "normalize_basic",
     "prefix_ngram_keys", "word_tokens",
     "bpe_token_count", "char_entropy", "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
+    "gopher_signals", "GOPHER_STOPWORDS",
     "repetition_stats",
     "rolling_fingerprint", "stopword_ratio", "whitespace_token_count",
     "word_token_count",

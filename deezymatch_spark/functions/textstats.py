@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from .expr import let_
 from .hashing import md5_long
-from .ngrams import normalize_basic, word_tokens
+from .ngrams import lower_ws_words, normalize_basic, word_tokens
 
 __all__ = [
     "whitespace_token_count",
@@ -25,11 +25,13 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "char_entropy",
+    "gopher_signals",
     "repetition_stats",
     "lang_id",
     "doc_fingerprint",
     "rolling_fingerprint",
     "STOPWORDS",
+    "GOPHER_STOPWORDS",
     "LANG_MARKERS",
 ]
 
@@ -153,6 +155,108 @@ def lang_id(col: Column) -> Column:
     ]
     best = F.greatest(*scored)
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+# the 8-word "must contain at least 2" stopword list from Rae et al.
+# 2021 §A1.1 (Gopher) — distinct from the ratio-oriented STOPWORDS above
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def _idiv_micro(num: Column, den: Column) -> Column:
+    """Exact ``(num · 10⁶) div max(den, 1)`` on non-negative longs —
+    ``(n − n mod d) / d`` is an exactly-representable integer in
+    float64 for n ≤ 2⁵³, so the division is bit-exact and the result
+    hashes identically across engines (same contract as
+    classification_metrics' scaled ratios)."""
+    d = F.greatest(den, F.lit(1).cast("long"))
+    n = num * F.lit(1_000_000).cast("long")
+    return ((n - F.pmod(n, d)) / d).cast("long")
+
+
+def gopher_signals(col: Column) -> Column:
+    """The Gopher rule-set inputs (Rae et al. 2021 §A1.1) as one
+    struct of exact BIGINTs — the standard pre-training document
+    filter alongside :func:`repetition_stats`:
+
+      n_words                   whitespace words (lowercased, empties
+                                dropped — same definition as the
+                                decontamination grams)
+      mean_word_len_micro       10⁶ × mean word length (0 if no words)
+      alpha_word_frac_micro     10⁶ × fraction of words containing at
+                                least one [a-z] character
+      symbol_word_ratio_micro   10⁶ × (count of '#', '…' and '...'
+                                occurrences) / n_words
+      n_lines                   non-empty trimmed lines
+      bullet_line_frac_micro    10⁶ × fraction of lines starting with
+                                a bullet ('•', '-', '*')
+      ellipsis_line_frac_micro  10⁶ × fraction of lines ending with
+                                '...' or '…'
+      n_stopwords               how many of the 8 Gopher stopwords
+                                appear at least once
+
+    All ratios are exact integer ``(num·10⁶) div den`` — no doubles,
+    so both engines hash identically. Pure shuffle-free expression
+    (array folds + JVM string ops), pushdown-friendly as a corpus
+    filter input; at 100 TB this runs inside the scan stage.
+    """
+    t = F.coalesce(col, F.lit(""))
+
+    def body(tt):
+        return let_(
+            lower_ws_words(tt),
+            lambda words: let_(
+                F.filter(
+                    F.transform(F.split(tt, "\n", -1), lambda l: F.trim(l)),
+                    lambda l: l != "",
+                ),
+                lambda lines: _gopher_struct(tt, words, lines),
+            ),
+        )
+
+    return let_(t, body)
+
+
+def _gopher_struct(tt: Column, words: Column, lines: Column) -> Column:
+    nw = F.size(words).cast("long")
+    nl = F.size(lines).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    count_of = lambda needle, width: (  # noqa: E731
+        (F.length(tt) - F.length(F.replace(tt, F.lit(needle)))) / width
+    ).cast("long")
+    sym = count_of("#", 1) + count_of("…", 1) + count_of("...", 3)
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(l, F.lit(_GOPHER_BULLETS[0]))
+            | F.startswith(l, F.lit(_GOPHER_BULLETS[1]))
+            | F.startswith(l, F.lit(_GOPHER_BULLETS[2])),
+        )
+    ).cast("long")
+    ellipses = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(l, F.lit("...")) | F.endswith(l, F.lit("…")),
+        )
+    ).cast("long")
+    stops = None
+    for s in GOPHER_STOPWORDS:
+        term = F.array_contains(words, s).cast("long")
+        stops = term if stops is None else stops + term
+    return F.struct(
+        nw.alias("n_words"),
+        _idiv_micro(sum_len, nw).alias("mean_word_len_micro"),
+        _idiv_micro(alpha, nw).alias("alpha_word_frac_micro"),
+        _idiv_micro(sym, nw).alias("symbol_word_ratio_micro"),
+        nl.alias("n_lines"),
+        _idiv_micro(bullets, nl).alias("bullet_line_frac_micro"),
+        _idiv_micro(ellipses, nl).alias("ellipsis_line_frac_micro"),
+        stops.alias("n_stopwords"),
+    )
 
 
 def repetition_stats(col: Column, delim: str = ". ") -> Column:

@@ -24,6 +24,7 @@ from .dedup import (
     url_dup_groups,
     word_ngram_hashes,
 )
+from .gopher import GOPHER_DEFAULTS, gopher_filter
 from .incremental import remove_nodes, update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
 from .lm import char_ngram_lm, lm_score
@@ -46,6 +47,7 @@ __all__ = [
     "dedup_keep_best",
     "hash_sample", "stratified_hash_sample", "sample_bucket",
     "contaminated_docs", "decontaminate",
+    "GOPHER_DEFAULTS", "gopher_filter",
     "duplicated_sentences", "semantic_dedup", "sentence_dedup", "simhash_dup_pairs",
     "substring_dedup", "substring_dup_spans", "substring_dup_stats",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",

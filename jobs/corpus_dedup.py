@@ -93,6 +93,14 @@ def main() -> None:
     ap.add_argument("--sample-rates", nargs="*", default=None,
                     metavar="STRATUM=FRACTION",
                     help="per-stratum rates, e.g. en=0.9 de=0.5")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher rule-set document filter "
+                         "(Rae et al. 2021 A1.1) right after sampling; "
+                         "all gates at the paper's defaults except the "
+                         "three overridable below")
+    ap.add_argument("--gopher-min-words", type=int, default=50)
+    ap.add_argument("--gopher-max-words", type=int, default=100_000)
+    ap.add_argument("--gopher-min-stopwords", type=int, default=2)
     ap.add_argument("--keep-best", choices=["length", "quality", "entropy"],
                     default=None,
                     help="near-dedup keeps the best cluster member by "
@@ -345,6 +353,22 @@ def main() -> None:
                 df, args.id_col, args.sample_fraction, salt=args.sample_salt
             )
         df = checkpoint("after_sample", df)
+
+    # Gopher rule-set gate right after sampling: a shuffle-free pure
+    # expression, so it is the second-cheapest stage and shrinks every
+    # shuffle-bearing stage downstream
+    if args.gopher:
+        from deezymatch_spark.operators import gopher_filter
+
+        df = checkpoint(
+            "after_gopher",
+            gopher_filter(
+                df, args.text_col,
+                min_words=args.gopher_min_words,
+                max_words=args.gopher_max_words,
+                min_stopwords=args.gopher_min_stopwords,
+            ),
+        )
 
     if args.url_col:
         df = checkpoint(

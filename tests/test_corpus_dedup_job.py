@@ -255,6 +255,51 @@ def test_chunking_stage_spark_submit(spark, tmp_path):
     assert out.where("n_tokens > 8").count() == 0
 
 
+def test_gopher_stage_spark_submit(spark, tmp_path):
+    """--gopher drops each rule-set archetype and keeps the good doc,
+    with the stage count surfaced as after_gopher."""
+    stops = "the be to of and that have with"
+    good = stops + " " + " ".join(f"word{i}" for i in range(52))
+    rows = [
+        (0, good),
+        (1, stops),                                    # < 50 words
+        (2, " ".join(f"word{i}" for i in range(60))),  # no stopwords
+        (3, stops + " " + " ".join(
+            f"word{i}" + ("#" if i < 7 else "") for i in range(52)
+        )),                                            # symbol-heavy
+    ]
+    inp = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    zip_base = str(tmp_path / "deezymatch_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
+    outd = str(tmp_path / "gopher_out")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_base + ".zip",
+            os.path.join(REPO, "jobs", "corpus_dedup.py"),
+            "--input", inp, "--output", outd,
+            "--skip-near-dedup", "--gopher",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    line = next(l for l in res.stdout.splitlines() if l.startswith('{"job"'))
+    metrics = json.loads(line)
+    assert metrics["input_rows"] == 4
+    assert metrics["after_gopher"] == 1
+    assert metrics["output_rows"] == 1
+    kept = spark.read.parquet(outd).collect()
+    assert [r.doc_id for r in kept] == [0]
+
+
 def test_substring_stage_rewrites_text(spark):
     from deezymatch_spark.operators import substring_dedup
 
