@@ -802,16 +802,31 @@ def q_doc_chunks(spark, sf):
     )
 
 
-def q_pack_layout(spark, sf):
-    """GPT-style concat-and-chunk packing layout (operators/packing.py):
-    per md5-bucket cumulative token sums cut every max_seq_len tokens.
-    One bucket-key shuffle carrying only (id, n_tokens); the oracle
-    replicates the layout with a SQL window cumsum."""
-    from deezymatch_spark.operators import pack_sequences
+PACK_SHUFFLE_SHARDS = 8
 
-    return pack_sequences(
+
+def q_pack_layout(spark, sf):
+    """GPT-style concat-and-chunk packing layout (operators/packing.py)
+    plus the deterministic training-order shuffle: per md5-bucket
+    cumulative token sums cut every max_seq_len tokens, then each
+    START sequence hashed into a training shard and ranked within it
+    (shuffle_sequences over the distinct sequences, joined back — r4).
+    One bucket-key shuffle carrying only (id, n_tokens) for the layout
+    + one shard-key window over the far smaller sequence set; the
+    oracle replicates both with SQL window functions."""
+    from deezymatch_spark.operators import pack_sequences, shuffle_sequences
+
+    lay = pack_sequences(
         _t(spark, sf, "documents"), "doc_id", "text",
         max_seq_len=PACK_SEQ_LEN, n_buckets=PACK_BUCKETS, salt="pack",
+    )
+    order = shuffle_sequences(
+        lay.select("seq_id").distinct(), "seq_id",
+        n_shards=PACK_SHUFFLE_SHARDS, salt="shuf",
+    )
+    return lay.join(order, "seq_id").select(
+        "doc_id", "n_tokens", "bucket", "seq_id", "seq_offset",
+        "shard", "shard_pos",
     )
 
 
@@ -1917,11 +1932,23 @@ def oracle_sql() -> dict[str, str]:
                  s as (select doc_id, n_tokens, bucket,
                          sum(n_tokens) over (partition by bucket order by doc_id)
                            - n_tokens as st
-                       from t)
-            select doc_id, n_tokens, cast(bucket as bigint) as bucket,
-                   cast(bucket * {1 << 40} + st // {PACK_SEQ_LEN} as bigint) as seq_id,
-                   cast(st % {PACK_SEQ_LEN} as bigint) as seq_offset
-            from s""",
+                       from t),
+                 lay as (select doc_id, n_tokens, cast(bucket as bigint) as bucket,
+                           cast(bucket * {1 << 40} + st // {PACK_SEQ_LEN} as bigint) as seq_id,
+                           cast(st % {PACK_SEQ_LEN} as bigint) as seq_offset
+                         from s),
+                 sk as (select seq_id,
+                          cast(('0x'||substr(md5('shuf:'||cast(seq_id as varchar)),1,15))
+                               as bigint) as k
+                        from (select distinct seq_id from lay)),
+                 ord as (select seq_id,
+                           cast(k % {PACK_SHUFFLE_SHARDS} as bigint) as shard,
+                           cast(row_number() over (
+                             partition by k % {PACK_SHUFFLE_SHARDS}
+                             order by k, seq_id) - 1 as bigint) as shard_pos
+                         from sk)
+            select doc_id, n_tokens, bucket, seq_id, seq_offset, shard, shard_pos
+            from lay join ord using (seq_id)""",
         "hash_sample": """
             select doc_id from documents
             where cast(('0x'||substr(md5('s1:'||cast(doc_id as varchar)),1,15)) as bigint)

@@ -33,7 +33,12 @@ from .quality_lr import (
     score_quality_lr,
     seed_quality_weights,
 )
-from .packing import chunk_documents, materialize_sequences, pack_sequences
+from .packing import (
+    chunk_documents,
+    materialize_sequences,
+    pack_sequences,
+    shuffle_sequences,
+)
 from .metrics import bcubed, classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
 from .sampling import hash_sample, sample_bucket, stratified_hash_sample
@@ -55,6 +60,7 @@ __all__ = [
     "brute_force_topk", "ivf_topk", "lsh_topk",
     "char_ngram_lm", "lm_score",
     "chunk_documents", "materialize_sequences", "pack_sequences",
+    "shuffle_sequences",
     "fit_quality_lr", "score_quality_lr", "seed_quality_weights",
     "bcubed", "classification_metrics", "mean_average_precision",
     "candidate_ranker", "validate_ranker_args",

@@ -47,7 +47,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import md5_long
 
-__all__ = ["chunk_documents", "materialize_sequences", "pack_sequences"]
+__all__ = [
+    "chunk_documents",
+    "materialize_sequences",
+    "pack_sequences",
+    "shuffle_sequences",
+]
 
 # sequence ids are bucket * 2^40 + seq_in_bucket: 2^40 sequences per
 # bucket before collision (a bucket with 2^40 max-length-2048 sequences
@@ -267,4 +272,48 @@ def materialize_sequences(
         "seq_id",
         F.size("tokens").cast("long").alias("n_tokens"),
         "tokens",
+    )
+
+
+def shuffle_sequences(
+    df: DataFrame,
+    seq_col: str = "seq_id",
+    *,
+    n_shards: int = 1024,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """→ input + [shard, shard_pos] — the deterministic global shuffle
+    every training run needs between packing and shard writing: without
+    it, GPT-style packed sequences arrive in id order, so each training
+    batch is one crawl neighborhood (correlated gradients). ``shard =
+    md5(salt:seq) mod n_shards`` and ``shard_pos`` ranks the shard's
+    sequences by the same hash — together a pseudo-random permutation
+    that is a pure function of (seq values, salt, n_shards): any retry,
+    any partitioning, any cluster produces the identical training
+    order, and a new epoch is just a new salt.
+
+    ``seq_col`` values must be unique per row (true of
+    :func:`materialize_sequences` / any sequence table; hash ties are
+    broken by the seq value itself, so uniqueness ⇒ a total order).
+
+    Scale shape: ONE exchange (the shard-key window); each shard ranks
+    with a linear scan, so parallelism = ``n_shards`` and no global
+    sort exists anywhere. Size n_shards to the training job's reader
+    count — at 100 TB, thousands of shards ⇒ thousands of independent
+    writer tasks.
+    """
+    if n_shards <= 0:
+        raise ValueError(
+            f"shuffle_sequences: n_shards must be > 0, got {n_shards}"
+        )
+    w = Window.partitionBy("shard").orderBy("_shuf_key", seq_col)
+    return (
+        df.withColumn("_shuf_key", md5_long(F.col(seq_col), salt))
+        .withColumn(
+            "shard", (F.col("_shuf_key") % n_shards).cast("long")
+        )
+        .withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_shuf_key")
     )

@@ -257,3 +257,58 @@ def test_materialize_duckdb_oracle(spark, docs):
     """).fetchall()
     want = sorted((b, s, tuple(tk)) for b, s, tk in rows)
     assert got == want
+
+
+def test_shuffle_sequences_is_permutation(spark):
+    from deezymatch_spark.operators import shuffle_sequences
+
+    seqs = spark.range(0, 300).withColumnRenamed("id", "seq_id")
+    out = shuffle_sequences(seqs, "seq_id", n_shards=7, salt="e0").collect()
+    assert len(out) == 300
+    # (shard, shard_pos) is a bijection onto dense per-shard positions
+    assert len({(r.shard, r.shard_pos) for r in out}) == 300
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 7
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_shuffle_sequences_deterministic_and_salt_sensitive(spark):
+    from deezymatch_spark.operators import shuffle_sequences
+
+    seqs = spark.range(0, 200).withColumnRenamed("id", "seq_id")
+    a = sorted(map(tuple, shuffle_sequences(
+        seqs, "seq_id", n_shards=5, salt="e0").collect()))
+    b = sorted(map(tuple, shuffle_sequences(
+        seqs.repartition(9), "seq_id", n_shards=5, salt="e0").collect()))
+    assert a == b  # pure function of (values, salt, n_shards)
+    c = sorted(map(tuple, shuffle_sequences(
+        seqs, "seq_id", n_shards=5, salt="e1").collect()))
+    assert a != c  # a new epoch salt is a new permutation
+    # ...but still a permutation of the same sequence set
+    assert {t[0] for t in a} == {t[0] for t in c}
+    # order must not be the identity (the whole point of the shuffle):
+    # reading shards in order must not reproduce ascending seq_id
+    read_order = [r[0] for r in sorted(a, key=lambda r: (r[1], r[2]))]
+    assert read_order != sorted(read_order)
+
+
+def test_shuffle_sequences_plan_single_exchange_no_python(spark):
+    from deezymatch_spark.operators import shuffle_sequences
+
+    seqs = spark.range(0, 100).withColumnRenamed("id", "seq_id")
+    plan = shuffle_sequences(
+        seqs, "seq_id", n_shards=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_shuffle_sequences_arg_validation(spark):
+    from deezymatch_spark.operators import shuffle_sequences
+
+    seqs = spark.range(0, 10).withColumnRenamed("id", "seq_id")
+    with pytest.raises(ValueError):
+        shuffle_sequences(seqs, "seq_id", n_shards=0)
