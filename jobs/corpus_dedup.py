@@ -46,7 +46,10 @@ stage shrinks the next stage's input:
                         seq_offset) — is written to --layout-output;
                         --sequences-output additionally materializes
                         the packed token sequences themselves,
-                        --pad-token padding each bucket's tail).
+                        --pad-token padding each bucket's tail, and
+                        --shuffle-shards writing them in a
+                        deterministic training-order permutation,
+                        partitioned by shard).
                         Mutually exclusive: packing orders documents
                         by id within each bucket, and a chunked corpus
                         no longer has a unique id per row.
@@ -209,6 +212,16 @@ def main() -> None:
                     help="pad each bucket's tail sequence to "
                          "--pack-seq-len with this token when "
                          "materializing")
+    ap.add_argument("--shuffle-shards", type=int, default=0,
+                    help="also assign each materialized sequence a "
+                         "deterministic training shard + in-shard "
+                         "position (md5 permutation) and write "
+                         "--sequences-output partitioned by shard, "
+                         "sorted by shard_pos (0 = off); size to the "
+                         "training job's reader count")
+    ap.add_argument("--shuffle-salt", default="shuffle",
+                    help="training-order permutation salt (a new salt "
+                         "is a new epoch order)")
     ap.add_argument("--max-block-size", type=int, default=500)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-near-dedup", action="store_true")
@@ -272,6 +285,11 @@ def main() -> None:
     if args.pad_token is not None and not args.sequences_output:
         ap.error("--pad-token only applies when materializing "
                  "(--sequences-output)")
+    if args.shuffle_shards < 0:
+        ap.error("--shuffle-shards must be >= 0")
+    if args.shuffle_shards and not args.sequences_output:
+        ap.error("--shuffle-shards permutes the materialized sequences "
+                 "(needs --sequences-output)")
     if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
         ap.error("--sample-fraction must be in [0, 1]")
     if args.sample_rates and not args.sample_strata_col:
@@ -634,13 +652,34 @@ def main() -> None:
         if args.sequences_output:
             from deezymatch_spark.operators import materialize_sequences
 
-            materialize_sequences(
+            seqs = materialize_sequences(
                 df, args.id_col, args.text_col,
                 max_seq_len=args.pack_seq_len,
                 n_buckets=args.pack_buckets,
                 salt=args.pack_salt,
                 pad_token=args.pad_token,
-            ).write.mode("overwrite").parquet(args.sequences_output)
+            )
+            if args.shuffle_shards:
+                from deezymatch_spark.operators import shuffle_sequences
+
+                # one shard = one training-reader unit: shard is a
+                # parquet partition directory and shard_pos orders the
+                # rows inside it, so a reader streaming shard files in
+                # order replays the deterministic global permutation
+                (
+                    shuffle_sequences(
+                        seqs, "seq_id",
+                        n_shards=args.shuffle_shards,
+                        salt=args.shuffle_salt,
+                    )
+                    .repartition("shard")
+                    .sortWithinPartitions("shard", "shard_pos")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(args.sequences_output)
+                )
+            else:
+                seqs.write.mode("overwrite").parquet(args.sequences_output)
             metrics["sequence_rows"] = (
                 spark.read.parquet(args.sequences_output).count()
             )

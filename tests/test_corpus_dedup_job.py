@@ -142,6 +142,7 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
             "--layout-output", str(tmp_path / "layout_out"),
             "--sequences-output", str(tmp_path / "seq_out"),
             "--pad-token", "<pad>",
+            "--shuffle-shards", "2", "--shuffle-salt", "e0",
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
@@ -188,6 +189,19 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
     )
     body = sum(1 for r in seqs for t in r.tokens if t != "<pad>")
     assert body == kept_tokens
+    # --shuffle-shards: sequences carry the deterministic training
+    # order and land in shard=N parquet partition directories
+    shard_dirs = sorted(
+        d for d in os.listdir(str(tmp_path / "seq_out"))
+        if d.startswith("shard=")
+    )
+    assert shard_dirs and all(
+        int(d.split("=")[1]) in (0, 1) for d in shard_dirs
+    )
+    assert len({(r.shard, r.shard_pos) for r in seqs}) == len(seqs)
+    for shard in {r.shard for r in seqs}:
+        positions = sorted(r.shard_pos for r in seqs if r.shard == shard)
+        assert positions == list(range(len(positions)))
 
 
 def test_sequence_prep_flag_validation(tmp_path):
@@ -215,6 +229,12 @@ def test_sequence_prep_flag_validation(tmp_path):
         capture_output=True, text=True, timeout=60, env=env,
     )
     assert r3.returncode == 2 and "--chunk-stride" in r3.stderr
+    r4 = subprocess.run(
+        base + ["--pack-seq-len", "16", "--layout-output", "z",
+                "--shuffle-shards", "2"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r4.returncode == 2 and "--sequences-output" in r4.stderr
 
 
 def test_chunking_stage_spark_submit(spark, tmp_path):
