@@ -24,6 +24,7 @@ from .dedup import (
     url_dup_groups,
     word_ngram_hashes,
 )
+from .c4 import c4_clean_lines, c4_filter
 from .gopher import GOPHER_DEFAULTS, gopher_filter
 from .incremental import remove_nodes, update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
@@ -41,7 +42,13 @@ from .packing import (
 )
 from .metrics import bcubed, classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
-from .sampling import hash_sample, sample_bucket, stratified_hash_sample
+from .sampling import (
+    apply_token_mix,
+    hash_sample,
+    plan_token_mix,
+    sample_bucket,
+    stratified_hash_sample,
+)
 from .split import train_val_test_split
 
 __all__ = [
@@ -51,8 +58,10 @@ __all__ = [
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
     "dedup_keep_best",
     "hash_sample", "stratified_hash_sample", "sample_bucket",
+    "apply_token_mix", "plan_token_mix",
     "contaminated_docs", "decontaminate",
     "GOPHER_DEFAULTS", "gopher_filter",
+    "c4_clean_lines", "c4_filter",
     "duplicated_sentences", "semantic_dedup", "sentence_dedup", "simhash_dup_pairs",
     "substring_dedup", "substring_dup_spans", "substring_dup_stats",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",

@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import md5_long
 
-__all__ = ["hash_sample", "stratified_hash_sample", "sample_bucket"]
+__all__ = [
+    "apply_token_mix",
+    "hash_sample",
+    "plan_token_mix",
+    "sample_bucket",
+    "stratified_hash_sample",
+]
 
 SAMPLE_DENOM = 1_000_000
 
@@ -90,3 +96,106 @@ def stratified_hash_sample(
         F.lit(int(round(default_fraction * SAMPLE_DENOM))),
     )
     return df.where(sample_bucket(id_col, salt) < thr)
+
+
+def plan_token_mix(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> dict[str, int]:
+    """→ ``{stratum: rate_micro}`` — the sampling/repetition rate per
+    domain that hits a token budget at target mixture weights (the
+    GPT-3 / LLaMA data-recipe arithmetic: "CommonCrawl 67%, Wikipedia
+    4.5% at 3.3 epochs", Brown et al. 2020 Table 2.2).
+
+    For each stratum in ``weights``: ``rate = budget·w/Σw ÷
+    available_tokens``, in millionths. Rates may exceed 10⁶ — that
+    stratum must be REPEATED (up-sampled) to meet its target;
+    :func:`apply_token_mix` materializes the copies. Strata not in
+    ``weights`` get rate 0 (dropped).
+
+    Driver-side by design: one map-combined ``groupBy(strata).sum``
+    whose result is bounded by the number of domains (the same bounded
+    collect as the IVF centroids), then exact integer arithmetic in
+    Python — the rates become plan literals, so the expensive corpus
+    pass stays a pure filter/explode.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for k, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {w}")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    avail = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("t"))
+        .collect()  # bounded: one row per domain
+    }
+    rates: dict[str, int] = {}
+    for k, w in sorted(weights.items()):
+        a = avail.get(k, 0)
+        if a <= 0 or w == 0:
+            rates[k] = 0
+            continue
+        target = budget_tokens * (w / wsum)
+        rates[k] = int(round(target * SAMPLE_DENOM / a))
+    return rates
+
+
+def apply_token_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    *,
+    salt: str = "mix",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a token-mix plan: each row appears ``⌊rate⌋`` times
+    plus one more with probability ``rate mod 1`` — decided by the same
+    deterministic per-row hash as :func:`hash_sample`, so the realized
+    corpus is a pure function of (ids, rates, salt). ``copy_col``
+    numbers the repeats (0-based): downstream packing can salt each
+    epoch copy differently, and rate ≤ 10⁶ degenerates to a plain
+    stratified sample with ``copy_col = 0``.
+
+    Scale shape: zero-shuffle — a literal-map lookup, one hash
+    comparison, and an ``explode(sequence(...))`` whose width is the
+    per-row copy count; no join, no UDF, no driver data.
+    """
+    for k, v in rates.items():
+        if v < 0:
+            raise ValueError(f"rate for {k!r} must be >= 0, got {v}")
+    if not rates:
+        return df.where(F.lit(False)).withColumn(
+            copy_col, F.lit(0).cast("long")
+        )
+    mapping = F.create_map(
+        *[
+            x
+            for k, v in sorted(rates.items())
+            for x in (F.lit(k), F.lit(int(v)))
+        ]
+    )
+    rate = F.coalesce(mapping[F.col(strata_col)], F.lit(0))
+    copies = (rate / F.lit(SAMPLE_DENOM)).cast("long") + F.when(
+        sample_bucket(id_col, salt) < F.pmod(rate, F.lit(SAMPLE_DENOM)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_copies", copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .withColumn(copy_col, F.col(copy_col).cast("long"))
+        .drop("_n_copies")
+    )

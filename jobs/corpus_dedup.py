@@ -9,34 +9,44 @@ stage shrinks the next stage's input:
                         mixing (--sample-fraction [--sample-strata-col
                         --sample-rates]); first because it shrinks
                         every later stage
-  1. URL dedup        — canonicalize, keep the latest crawl snapshot
+  1. heuristic gates  — Gopher rule-set document filter (--gopher,
+                        Rae et al. 2021 A1.1), then C4 line cleaning +
+                        page gates (--c4, Raffel et al. 2020 2.2);
+                        both pure expressions, run before anything
+                        that shuffles
+  2. URL dedup        — canonicalize, keep the latest crawl snapshot
                         per canonical URL (skipped without --url-col)
-  2. PII masking      — emails/IPv4/phone runs → typed placeholders
+  3. PII masking      — emails/IPv4/phone runs → typed placeholders
                         (--mask-pii; before dedup so docs differing
                         only in PII collapse)
-  3. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
-  4. sentence dedup   — strip corpus-duplicated boilerplate sentences
+  4. exact dedup      — 60-bit fingerprint groupBy, keep min-id doc
+  5. sentence dedup   — strip corpus-duplicated boilerplate sentences
                         (cookie banners, nav bars, footers)
-  5. substring dedup  — ExactSubstr removal of corpus-duplicated
+  6. substring dedup  — ExactSubstr removal of corpus-duplicated
                         n-word-gram spans (--substring-ngram)
-  6. decontamination  — drop docs sharing a 13-word-gram with any
+  7. decontamination  — drop docs sharing a 13-word-gram with any
                         benchmark text (skipped without --benchmark)
-  7. LM quality gate  — CCNet-style char-ngram LM perplexity filter:
+  8. LM quality gate  — CCNet-style char-ngram LM perplexity filter:
                         fit on a deterministic hash-sample slice of
                         the (already deduped) corpus, drop docs whose
                         mean NLL exceeds --lm-max-nll nats
                         (--lm-ngram, 0 = off)
-  8. classifier gate  — GPT-3-style model-based quality filter
+  9. classifier gate  — GPT-3-style model-based quality filter
                         (--qlr-reference): fit a hashing-trick LR with
                         the reference docs as positives and a
                         deterministic hash sample of the corpus as
                         negatives (Brown et al. 2020 Appendix A:
                         WebText vs Common Crawl), keep docs scoring
                         >= --qlr-threshold-micro
-  9. near dedup       — MinHash/Jaccard or SimHash/Hamming bucketing →
+  10. near dedup      — MinHash/Jaccard or SimHash/Hamming bucketing →
                         verify → connected components → keep cluster
                         min-id, or the best member by --keep-best
-  10. sequence prep   — the hand-off to the tokenizer. EITHER
+  11. token mix       — token-budget domain mixing over the CLEAN
+                        corpus (--mix-weights STRATUM=WEIGHT ...
+                        --mix-budget-tokens --mix-strata-col): rates
+                        from plan_token_mix, scarce domains up-sampled
+                        as numbered copies (GPT-3/LLaMA recipe step)
+  12. sequence prep   — the hand-off to the tokenizer. EITHER
                         --chunk-max-tokens (BERT/T5-style sliding
                         windows: the output rows become chunk units
                         with columns [id, chunk_id, n_tokens, text])
@@ -104,6 +114,31 @@ def main() -> None:
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-max-words", type=int, default=100_000)
     ap.add_argument("--gopher-min-stopwords", type=int, default=2)
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 line-cleaning + page gates "
+                         "(Raffel et al. 2020 2.2) after the Gopher "
+                         "gate: keep prose-looking lines, drop thin / "
+                         "lorem-ipsum / curly-brace pages")
+    ap.add_argument("--c4-min-words-per-line", type=int, default=5)
+    ap.add_argument("--c4-min-sentences", type=int, default=3)
+    ap.add_argument("--c4-blocklist", nargs="*", default=None,
+                    metavar="WORD",
+                    help="drop pages containing any of these words "
+                         "(lowercased whole-word match)")
+    ap.add_argument("--mix-weights", nargs="*", default=None,
+                    metavar="STRATUM=WEIGHT",
+                    help="token-budget domain mixing after all cleaning "
+                         "(GPT-3/LLaMA recipe arithmetic): target "
+                         "mixture weights per --mix-strata-col value, "
+                         "e.g. web=0.8 wiki=0.2; strata not listed are "
+                         "dropped, scarce strata are up-sampled "
+                         "(copy_idx column numbers the repeats)")
+    ap.add_argument("--mix-budget-tokens", type=int, default=None,
+                    help="total whitespace-token budget the mix targets")
+    ap.add_argument("--mix-strata-col", default=None,
+                    help="domain column for --mix-weights")
+    ap.add_argument("--mix-salt", default="mix",
+                    help="deterministic-sampling salt for the mix stage")
     ap.add_argument("--keep-best", choices=["length", "quality", "entropy"],
                     default=None,
                     help="near-dedup keeps the best cluster member by "
@@ -290,6 +325,29 @@ def main() -> None:
     if args.shuffle_shards and not args.sequences_output:
         ap.error("--shuffle-shards permutes the materialized sequences "
                  "(needs --sequences-output)")
+    if args.c4 and (args.c4_min_words_per_line < 0 or args.c4_min_sentences < 0):
+        ap.error("--c4-min-words-per-line / --c4-min-sentences must be >= 0")
+    mix_weights = None
+    if args.mix_weights is not None:
+        if args.mix_budget_tokens is None or args.mix_budget_tokens < 0:
+            ap.error("--mix-weights needs --mix-budget-tokens >= 0")
+        if not args.mix_strata_col:
+            ap.error("--mix-weights needs --mix-strata-col")
+        mix_weights = {}
+        for spec in args.mix_weights:
+            k, sep, v = spec.partition("=")
+            try:
+                w = float(v)
+            except ValueError:
+                w = -1.0
+            if not sep or not k or w < 0:
+                ap.error(f"bad --mix-weights entry {spec!r} "
+                         "(want STRATUM=WEIGHT, weight >= 0)")
+            mix_weights[k] = w
+        if not mix_weights or sum(mix_weights.values()) <= 0:
+            ap.error("--mix-weights must sum to > 0")
+    elif args.mix_budget_tokens is not None or args.mix_strata_col:
+        ap.error("--mix-budget-tokens / --mix-strata-col need --mix-weights")
     if args.sample_fraction is not None and not 0.0 <= args.sample_fraction <= 1.0:
         ap.error("--sample-fraction must be in [0, 1]")
     if args.sample_rates and not args.sample_strata_col:
@@ -385,6 +443,19 @@ def main() -> None:
                 min_words=args.gopher_min_words,
                 max_words=args.gopher_max_words,
                 min_stopwords=args.gopher_min_stopwords,
+            ),
+        )
+
+    if args.c4:
+        from deezymatch_spark.operators import c4_filter
+
+        df = checkpoint(
+            "after_c4",
+            c4_filter(
+                df, args.text_col,
+                min_words_per_line=args.c4_min_words_per_line,
+                min_sentences=args.c4_min_sentences,
+                blocklist=args.c4_blocklist,
             ),
         )
 
@@ -607,6 +678,38 @@ def main() -> None:
                 max_block_size=args.max_block_size,
                 **kw,
             )
+
+    if mix_weights:
+        from deezymatch_spark.functions import whitespace_token_count
+        from deezymatch_spark.operators import apply_token_mix, plan_token_mix
+
+        rates = plan_token_mix(
+            df.withColumn(
+                "_mix_tokens", whitespace_token_count(F.col(args.text_col))
+            ),
+            args.mix_strata_col, "_mix_tokens",
+            mix_weights, args.mix_budget_tokens,
+        )
+        metrics["mix_rates"] = rates
+        df = checkpoint(
+            "after_mix",
+            apply_token_mix(
+                df, args.id_col, args.mix_strata_col, rates,
+                salt=args.mix_salt,
+            ),
+        )
+        if args.chunk_max_tokens or args.pack_seq_len:
+            # up-sampled copies are distinct training documents:
+            # sequence prep needs a unique per-row id, so fold the copy
+            # number into the id (string 'id#copy', ordering stays
+            # deterministic)
+            df = df.withColumn(
+                args.id_col,
+                F.concat(
+                    F.col(args.id_col).cast("string"), F.lit("#"),
+                    F.col("copy_idx").cast("string"),
+                ),
+            ).drop("copy_idx")
 
     if args.chunk_max_tokens:
         from deezymatch_spark.operators import chunk_documents

@@ -320,6 +320,94 @@ def test_gopher_stage_spark_submit(spark, tmp_path):
     assert [r.doc_id for r in kept] == [0]
 
 
+def test_c4_and_mix_stages_spark_submit(spark, tmp_path):
+    """--c4 cleans lines + drops thin/brace pages; --mix-weights then
+    realizes a token budget over the survivors, up-sampling the scarce
+    domain with copy_idx numbering the repeats."""
+    prose = ("This is a proper prose sentence with plenty of words here.\n"
+             "Another proper prose sentence with plenty of words follows!\n"
+             "A third proper prose sentence rounds out the page nicely?")
+    rows = [(i, "web", prose + f"\nUnique web page {i} trailing sentence "
+             "with enough words to survive.") for i in range(20)]
+    rows += [(100 + i, "wiki", prose + f"\nUnique wiki page {i} trailing "
+              "sentence with enough words too.") for i in range(4)]
+    rows += [(900, "web", "function() { code page }"),     # brace gate
+             (901, "web", "short line\nno terminal punct")]  # thin page
+    inp = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, domain string, text string") \
+        .write.parquet(inp)
+    zip_base = str(tmp_path / "deezymatch_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
+    outd = str(tmp_path / "mix_out")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_base + ".zip",
+            os.path.join(REPO, "jobs", "corpus_dedup.py"),
+            "--input", inp, "--output", outd,
+            "--skip-near-dedup", "--c4",
+            # wiki weight far above its share -> up-sampled (rate > 1e6)
+            "--mix-weights", "web=0.5", "wiki=0.5",
+            # web has ~820 tokens available, wiki ~165: a 1200 budget
+            # (600 per stratum) down-samples web and up-samples wiki
+            "--mix-budget-tokens", "1200", "--mix-strata-col", "domain",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    line = next(l for l in res.stdout.splitlines() if l.startswith('{"job"'))
+    metrics = json.loads(line)
+    assert metrics["input_rows"] == 26
+    assert metrics["after_c4"] == 24          # brace + thin pages dropped
+    assert metrics["mix_rates"]["wiki"] > 1_000_000
+    assert 0 < metrics["mix_rates"]["web"] < 1_000_000
+    out = spark.read.parquet(outd).collect()
+    assert metrics["after_mix"] == metrics["output_rows"] == len(out)
+    assert {r.domain for r in out} == {"web", "wiki"}
+    # every wiki doc appears >= 1x (rate > 1), with dense copy numbering
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    for doc_id, copies in by_doc.items():
+        assert sorted(copies) == list(range(len(copies)))
+        if doc_id >= 100:
+            assert len(copies) >= 1
+    # c4 rewrote the text: no kept page retains a "short line" fragment
+    assert all("no terminal punct" not in r.text for r in out)
+
+
+def test_mix_flag_validation(tmp_path):
+    base = [
+        sys.executable, os.path.join(REPO, "jobs", "corpus_dedup.py"),
+        "--input", "x", "--output", "y",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r1 = subprocess.run(
+        base + ["--mix-weights", "web=0.5"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r1.returncode == 2 and "--mix-budget-tokens" in r1.stderr
+    r2 = subprocess.run(
+        base + ["--mix-weights", "web=oops", "--mix-budget-tokens", "100",
+                "--mix-strata-col", "domain"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r2.returncode == 2 and "bad --mix-weights" in r2.stderr
+    r3 = subprocess.run(
+        base + ["--mix-budget-tokens", "100"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r3.returncode == 2 and "--mix-weights" in r3.stderr
+
+
 def test_substring_stage_rewrites_text(spark):
     from deezymatch_spark.operators import substring_dedup
 
