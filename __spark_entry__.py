@@ -467,6 +467,28 @@ GOPHER_EXPR_SQL = (
     " || case when doc_id % 7 = 0 then ' ### trailing...' else '' end"
 )
 
+# Planted multi-line page for the C4 gate (valid in Spark SQL and DuckDB):
+# one always-kept prose line, one too-short line, the doc text as a
+# period-terminated line, plus per-residue tripwire lines so every gate
+# branch fires — javascript line (%5=2), curly braces (%6=0), lorem
+# ipsum (%9=1) — and a no-terminal-punct trailer for %4!=0.
+C4_EXPR_SQL = (
+    "'This is a long prose sentence with many words here.' || chr(10)"
+    " || 'short line' || chr(10) || text || '.'"
+    " || case when doc_id % 5 = 2 then"
+    " chr(10) || 'Please enable javascript to view this page content.'"
+    " else '' end"
+    " || case when doc_id % 6 = 0 then"
+    " chr(10) || 'var config = applied settings block here' else '' end"
+    " || case when doc_id % 6 = 0 then ' {x}' else '' end"
+    " || case when doc_id % 9 = 1 then"
+    " chr(10) || 'Lorem ipsum dolor sit amet consectetur filler text.'"
+    " else '' end"
+    " || case when doc_id % 4 = 0 then"
+    " chr(10) || 'Another proper prose sentence with enough words follows!'"
+    " else chr(10) || 'trailing fragment without terminal punct' end"
+)
+
 
 def q_text_signals(spark, sf):
     """Per-document text-curation signals — language ID, heuristic
@@ -477,16 +499,37 @@ def q_text_signals(spark, sf):
     curation job computes them: one pass, all shuffle-free codegen
     expressions). Merged from q_lang_id / q_quality_score /
     q_char_entropy (each green r1-r3) to fit the 50-query grading
-    window; gopher columns added r4."""
+    window; gopher columns added r4, C4 columns (Raffel et al. 2020
+    §2.2) later in r4. The C4 gate is exercised through the REAL
+    operator: c4_filter runs on the planted pages and its survivors
+    join back as the c4_keep flag + cleaned-text md5 — the one join in
+    this composite is a grading construct (production calls c4_filter
+    as a filter, no join; the signal columns stay a single scan)."""
     from deezymatch_spark.functions import char_entropy, gopher_signals
+    from deezymatch_spark.operators import c4_clean_lines, c4_filter
 
-    return _t(spark, sf, "documents").select(
+    docs = _t(spark, sf, "documents")
+    kept = c4_filter(
+        docs.select("doc_id", F.expr(C4_EXPR_SQL).alias("text")), "text"
+    ).select("doc_id", F.md5("text").alias("c4_md5"))
+    sig = docs.select(
         "doc_id",
         lang_id(F.col("text")).alias("pred_lang"),
         quality_score(F.col("text")).alias("quality"),
         F.round(char_entropy(F.col("text")), 6).alias("entropy_bits"),
         gopher_signals(F.expr(GOPHER_EXPR_SQL)).alias("g"),
-    ).select("doc_id", "pred_lang", "quality", "entropy_bits", "g.*")
+        c4_clean_lines(F.expr(C4_EXPR_SQL)).alias("c"),
+    ).select(
+        "doc_id", "pred_lang", "quality", "entropy_bits", "g.*",
+        F.col("c.n_lines").alias("c4_n_lines"),
+        F.col("c.n_kept_lines").alias("c4_kept_lines"),
+        F.col("c.n_sentences").alias("c4_n_sentences"),
+    )
+    return sig.join(kept, "doc_id", "left").select(
+        sig["*"],
+        F.col("c4_md5").isNotNull().cast("long").alias("c4_keep"),
+        F.coalesce("c4_md5", F.lit("")).alias("c4_md5"),
+    )
 
 
 def q_jaro_winkler_pairs(spark, sf):
@@ -870,19 +913,31 @@ def q_stratified_sample(spark, sf):
 
 
 def q_hash_samples(spark, sf):
-    """Deterministic uniform AND stratified hash sampling in one graded
-    entry, tagged by a ``sampler`` column (both zero-shuffle pushdown
-    filters; membership is the whole contract — per-lang fractions are
-    fully exercised by which doc_ids appear under 'stratified'). Merged
-    from q_hash_sample / q_stratified_sample (green in r3) to fit the
-    50-query grading window."""
+    """Deterministic uniform AND stratified hash sampling AND
+    token-mix materialization in one graded entry, tagged by a
+    ``sampler`` column (all zero-shuffle; membership + copy numbering
+    are the whole contract). The token_mix section applies a literal
+    rate plan (en up-sampled 1.7×, de down-sampled 0.4×, rest dropped
+    — the GPT-3/LLaMA recipe's realization step,
+    operators/sampling.py:apply_token_mix): each doc appears
+    ⌊rate⌋ + (bucket < rate mod 1e6) times with copy_idx numbering the
+    repeats. Merged from q_hash_sample / q_stratified_sample (green in
+    r3) to fit the 50-query grading window; mix section added r4."""
+    from deezymatch_spark.operators import apply_token_mix
+
     u = q_hash_sample(spark, sf).select(
-        F.lit("uniform").alias("sampler"), "doc_id"
+        F.lit("uniform").alias("sampler"), "doc_id",
+        F.lit(0).cast("long").alias("copy_idx"),
     )
     s = q_stratified_sample(spark, sf).select(
-        F.lit("stratified").alias("sampler"), "doc_id"
+        F.lit("stratified").alias("sampler"), "doc_id",
+        F.lit(0).cast("long").alias("copy_idx"),
     )
-    return u.unionByName(s)
+    m = apply_token_mix(
+        _t(spark, sf, "documents"), "doc_id", "lang",
+        {"en": 1_700_000, "de": 400_000}, salt="mix2",
+    ).select(F.lit("token_mix").alias("sampler"), "doc_id", "copy_idx")
+    return u.unionByName(s).unionByName(m)
 
 
 def q_substring_dup_stats(spark, sf):
@@ -2193,16 +2248,51 @@ def oracle_sql() -> dict[str, str]:
           (ell * 1000000) // greatest(nl, 1) as ellipsis_line_frac_micro,
           stops as n_stopwords
         from gc"""
+    # C4 constituent: same line/page contract as operators/c4.py —
+    # lines = space-trimmed non-empty chr(10) splits, a line is kept iff
+    # it ends in [.!?"”], has >= 5 \s+ words, and never mentions
+    # 'javascript'; sentences = .!? occurrences in the kept text; the
+    # page gate additionally bans braces and 'lorem ipsum'.
+    c4_sql = f"""
+        with csrc as (select doc_id, {C4_EXPR_SQL} as t from documents),
+        cl as (select doc_id, t,
+            list_filter(list_transform(string_split(t, chr(10)), l -> trim(l, ' ')), l -> l <> '') as lines
+          from csrc),
+        ck as (select doc_id, t, lines,
+            list_filter(lines, l -> regexp_matches(l, '[.!?"”]$')
+                                and len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 5
+                                and not contains(lower(l), 'javascript')) as kept
+          from cl),
+        ct as (select doc_id, t, len(lines) as nl, len(kept) as nk,
+            array_to_string(kept, chr(10)) as kt from ck),
+        cs as (select doc_id, t, nl, nk, kt,
+            (length(kt) - length(replace(kt, '.', '')))
+            + (length(kt) - length(replace(kt, '!', '')))
+            + (length(kt) - length(replace(kt, '?', ''))) as ns from ct)
+        select doc_id,
+          cast(nl as bigint) as c4_n_lines,
+          cast(nk as bigint) as c4_kept_lines,
+          cast(ns as bigint) as c4_n_sentences,
+          cast(case when ns >= 3 and not contains(t, '{{') and not contains(t, '}}')
+                     and not contains(lower(t), 'lorem ipsum')
+               then 1 else 0 end as bigint) as c4_keep,
+          case when ns >= 3 and not contains(t, '{{') and not contains(t, '}}')
+                and not contains(lower(t), 'lorem ipsum')
+               then md5(kt) else '' end as c4_md5
+        from cs"""
     o["text_signals"] = (
         f"with L as ({o.pop('lang_id')}),\n"
         f"     Q as ({o.pop('quality_score')}),\n"
         f"     E as ({o.pop('char_entropy')}),\n"
-        f"     G as ({gopher_sql})\n"
+        f"     G as ({gopher_sql}),\n"
+        f"     C as ({c4_sql})\n"
         f"select L.doc_id, pred_lang, quality, entropy_bits,\n"
         f"       n_words, mean_word_len_micro, alpha_word_frac_micro,\n"
         f"       symbol_word_ratio_micro, n_lines, bullet_line_frac_micro,\n"
-        f"       ellipsis_line_frac_micro, n_stopwords\n"
-        f"from L join Q using (doc_id) join E using (doc_id) join G using (doc_id)"
+        f"       ellipsis_line_frac_micro, n_stopwords,\n"
+        f"       c4_n_lines, c4_kept_lines, c4_n_sentences, c4_keep, c4_md5\n"
+        f"from L join Q using (doc_id) join E using (doc_id) join G using (doc_id)\n"
+        f"       join C using (doc_id)"
     )
     o["url_dedup"] = (
         f"with c as ({o.pop('canonical_urls')}),\n"
@@ -2212,10 +2302,31 @@ def oracle_sql() -> dict[str, str]:
         f"       coalesce(g.keep_id, c.doc_id) as keep_id\n"
         f"from c left join g using (canon_url)"
     )
+    # token-mix constituent: rate = literal micros per lang (0 = drop);
+    # copies = rate // 1e6 + (md5-bucket < rate % 1e6), rows exploded
+    # with dense 0-based copy numbering — the exact apply_token_mix
+    # contract (operators/sampling.py).
+    token_mix_sql = """
+        select 'token_mix' as sampler, doc_id,
+               cast(unnest(range(n_copies)) as bigint) as copy_idx
+        from (
+          select doc_id,
+            r // 1000000
+            + case when cast(('0x'||substr(md5('mix2:'||cast(doc_id as varchar)),1,15)) as bigint)
+                        % 1000000 < r % 1000000
+                   then 1 else 0 end as n_copies
+          from (select doc_id,
+                  case lang when 'en' then 1700000
+                            when 'de' then 400000 else 0 end as r
+                from documents))
+        where n_copies > 0"""
     o["hash_samples"] = (
-        f"select 'uniform' as sampler, doc_id from ({o.pop('hash_sample')})\n"
+        f"select 'uniform' as sampler, doc_id, cast(0 as bigint) as copy_idx\n"
+        f"from ({o.pop('hash_sample')})\n"
         f"union all\n"
-        f"select 'stratified' as sampler, doc_id from ({o.pop('stratified_sample')})"
+        f"select 'stratified' as sampler, doc_id, cast(0 as bigint) as copy_idx\n"
+        f"from ({o.pop('stratified_sample')})\n"
+        f"union all\n{token_mix_sql}"
     )
     # substring_dup_stats subsumes the span query (same spans, aggregated)
     o.pop("substring_dup_spans")
