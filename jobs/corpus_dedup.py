@@ -74,6 +74,15 @@ Ship + run:
         --id-col doc_id --text-col text --shuffle-partitions 4096
 
 Per-stage surviving-row counts print as one JSON line (stage metrics).
+
+Resumability (north rule): pass ``--work-dir DIR`` and every stage
+checkpoints its output parquet + per-partition lineage metrics there
+(same _SUCCESS-probe machinery as the ER pipeline,
+deezymatch_spark/pipeline.py); a killed job re-run with the same
+work dir resumes from the last completed stage — including skipping
+the driver-side model fits (LM, quality-LR, mix plan) of finished
+stages. The work dir is fingerprinted with the job's flags: reusing
+it with different flags errors out instead of resuming wrong data.
 """
 
 from __future__ import annotations
@@ -263,6 +272,16 @@ def main() -> None:
     ap.add_argument("--no-metrics", action="store_true",
                     help="skip per-stage counts: one pass, no persists "
                          "(only output_rows is reported)")
+    ap.add_argument("--work-dir", default=None,
+                    help="stage-checkpoint directory: each stage writes "
+                         "its output parquet + per-partition lineage "
+                         "metrics here, and a killed job re-run with "
+                         "the same --work-dir resumes from the last "
+                         "completed stage (skipping the driver-side "
+                         "model fits of finished stages too). The dir "
+                         "is pinned to this job's flags — reusing it "
+                         "with different flags is an error, not a "
+                         "silent wrong resume")
     args = ap.parse_args()
 
     # fail on bad arithmetic BEFORE any cluster time is spent — these
@@ -393,13 +412,80 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     metrics: dict[str, int] = {}
 
+    if args.work_dir:
+        # pin the work dir to this job's flags: resuming a stage chain
+        # built by DIFFERENT flags would silently serve wrong data
+        # (conditional stages shift both numbering and semantics)
+        import os as _os
+
+        from deezymatch_spark.pipeline import (
+            _is_done,
+            _marker_exists,
+            stage_metrics,
+        )
+
+        config = json.dumps(
+            {k: v for k, v in sorted(vars(args).items()) if k != "work_dir"},
+            sort_keys=True,
+        )
+        cfg_path = _os.path.join(args.work_dir, "_CONFIG")
+        if _marker_exists(spark, cfg_path):
+            # read through the Hadoop FS API (works on s3a://, hdfs://
+            # like the _SUCCESS probes; NOT sc.textFile, which treats
+            # leading-underscore files as hidden and refuses the path)
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(cfg_path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            baos = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                fs.open(hpath), baos, 4096, True
+            )
+            existing = bytes(baos.toByteArray()).decode("utf-8")
+            if existing != config:
+                ap.error(
+                    f"--work-dir {args.work_dir} was built with different "
+                    "flags; use a fresh work dir (or the original flags)"
+                )
+        else:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(cfg_path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            out = fs.create(hpath, True)
+            try:
+                out.write(bytearray(config.encode("utf-8")))
+            finally:
+                out.close()
+
     # per-stage counts would otherwise recompute every earlier stage
     # (O(stages²) at corpus scale): persist each counted stage, drop
-    # the previous one once its successor is materialized
+    # the previous one once its successor is materialized. With
+    # --work-dir, persist becomes a parquet write (resume + lineage
+    # cut) and a _SUCCESS-complete stage is read back instead of
+    # recomputed; thunk-valued stages (the model-fitting gates) only
+    # run their driver-side fits when the stage actually executes.
     prev = None
+    stage_seq = 0
 
     def checkpoint(stage: str, d):
-        nonlocal prev
+        nonlocal prev, stage_seq
+        stage_seq += 1
+        if args.work_dir:
+            import os as _os
+
+            path = _os.path.join(
+                args.work_dir, f"stage_{stage_seq:02d}_{stage}"
+            )
+            if not _is_done(spark, path):
+                d = d() if callable(d) else d
+                d.write.mode("overwrite").parquet(path)
+                stage_metrics(spark.read.parquet(path), stage).write.mode(
+                    "append"
+                ).parquet(_os.path.join(args.work_dir, "metrics"))
+            out = spark.read.parquet(path)
+            if not args.no_metrics:
+                metrics[stage] = out.count()
+            return out
+        d = d() if callable(d) else d
         if args.no_metrics:
             return d
         d = d.persist()
@@ -409,7 +495,14 @@ def main() -> None:
         prev = d
         return d
 
-    df = checkpoint("input_rows", df)
+    # never copy the raw input into the work dir: count it (metrics
+    # parity) but let stage 0 read straight from the source
+    if args.work_dir:
+        stage_seq += 1
+        if not args.no_metrics:
+            metrics["input_rows"] = df.count()
+    else:
+        df = checkpoint("input_rows", df)
 
     # deterministic subsample FIRST — the cheapest stage and the one
     # that shrinks everything downstream; hash-based so a retried or
@@ -517,119 +610,140 @@ def main() -> None:
         )
 
     if args.benchmark:
-        from deezymatch_spark.operators import word_ngram_hashes
 
-        bench = spark.read.parquet(args.benchmark)
-        # surface silent no-ops: benchmark rows shorter than the gram
-        # size produce NO grams and protect nothing
-        n_bench_grams = bench.select(
-            F.explode(
-                word_ngram_hashes(F.col(args.bench_text_col), args.decontam_ngram)
-            )
-        ).count()
-        metrics["benchmark_grams"] = n_bench_grams
-        if n_bench_grams == 0:
-            import sys
+        def _decontaminated(df=df):
+            from deezymatch_spark.operators import word_ngram_hashes
 
-            print(
-                f"WARNING: benchmark produced 0 word-{args.decontam_ngram}-grams "
-                "(all rows shorter than the gram size?) — the decontamination "
-                "stage will not drop anything; lower --decontam-ngram",
-                file=sys.stderr,
-            )
-        df = checkpoint(
-            "after_decontamination",
-            decontaminate(
-                df, bench, args.id_col, args.text_col,
-                args.bench_text_col, n=args.decontam_ngram,
-            ),
-        )
-
-    if args.lm_ngram:
-        from deezymatch_spark.operators import char_ngram_lm, lm_score
-
-        # fit on a deterministic slice of the CURRENT (deduped) corpus
-        # — fitting after dedup keeps boilerplate from dominating the
-        # model, and the hash sample is retry/partitioning-stable
-        fit_slice = (
-            df
-            if args.lm_fit_fraction >= 1.0
-            else hash_sample(
-                df, args.id_col, args.lm_fit_fraction, salt=args.lm_salt
-            )
-        )
-        lm = char_ngram_lm(
-            fit_slice, args.text_col,
-            n=args.lm_ngram, min_count=args.lm_min_count,
-        )
-        if not args.no_metrics:
-            # model-sized count (Zipf-bounded), cheap even at corpus
-            # scale; an empty model would send EVERY doc to the unseen
-            # floor and make the gate all-or-nothing — surface it loudly
-            lm = lm.persist()
-            metrics["lm_grams"] = lm.count()
-            if metrics["lm_grams"] == 0:
+            bench = spark.read.parquet(args.benchmark)
+            # surface silent no-ops: benchmark rows shorter than the
+            # gram size produce NO grams and protect nothing
+            n_bench_grams = bench.select(
+                F.explode(
+                    word_ngram_hashes(
+                        F.col(args.bench_text_col), args.decontam_ngram
+                    )
+                )
+            ).count()
+            metrics["benchmark_grams"] = n_bench_grams
+            if n_bench_grams == 0:
                 import sys
 
                 print(
-                    "WARNING: the char-ngram LM is empty (fit slice too "
-                    "small for --lm-min-count?) — every gram scores at "
-                    "the unseen floor (~16.1 nats) and --lm-max-nll "
-                    "becomes all-or-nothing; raise --lm-fit-fraction or "
-                    "lower --lm-min-count",
+                    f"WARNING: benchmark produced 0 word-"
+                    f"{args.decontam_ngram}-grams (all rows shorter than "
+                    "the gram size?) — the decontamination stage will "
+                    "not drop anything; lower --decontam-ngram",
                     file=sys.stderr,
                 )
-        max_nll_micro = int(round(args.lm_max_nll * 1_000_000))
-        keep = (
-            lm_score(df, args.id_col, args.text_col, lm, n=args.lm_ngram)
-            .where(F.col("nll_micro") <= max_nll_micro)
-            .select(args.id_col)
-        )
-        df = checkpoint("after_lm_filter", df.join(keep, args.id_col))
-        if not args.no_metrics:
-            lm.unpersist()
+            return decontaminate(
+                df, bench, args.id_col, args.text_col,
+                args.bench_text_col, n=args.decontam_ngram,
+            )
+
+        df = checkpoint("after_decontamination", _decontaminated)
+
+    if args.lm_ngram:
+        _lm_cache: list = []
+
+        def _lm_filtered(df=df):
+            from deezymatch_spark.operators import char_ngram_lm, lm_score
+
+            # fit on a deterministic slice of the CURRENT (deduped)
+            # corpus — fitting after dedup keeps boilerplate from
+            # dominating the model, and the hash sample is
+            # retry/partitioning-stable
+            fit_slice = (
+                df
+                if args.lm_fit_fraction >= 1.0
+                else hash_sample(
+                    df, args.id_col, args.lm_fit_fraction, salt=args.lm_salt
+                )
+            )
+            lm = char_ngram_lm(
+                fit_slice, args.text_col,
+                n=args.lm_ngram, min_count=args.lm_min_count,
+            )
+            if not args.no_metrics:
+                # model-sized count (Zipf-bounded), cheap even at corpus
+                # scale; an empty model would send EVERY doc to the
+                # unseen floor and make the gate all-or-nothing —
+                # surface it loudly
+                lm = lm.persist()
+                _lm_cache.append(lm)
+                metrics["lm_grams"] = lm.count()
+                if metrics["lm_grams"] == 0:
+                    import sys
+
+                    print(
+                        "WARNING: the char-ngram LM is empty (fit slice "
+                        "too small for --lm-min-count?) — every gram "
+                        "scores at the unseen floor (~16.1 nats) and "
+                        "--lm-max-nll becomes all-or-nothing; raise "
+                        "--lm-fit-fraction or lower --lm-min-count",
+                        file=sys.stderr,
+                    )
+            max_nll_micro = int(round(args.lm_max_nll * 1_000_000))
+            keep = (
+                lm_score(df, args.id_col, args.text_col, lm, n=args.lm_ngram)
+                .where(F.col("nll_micro") <= max_nll_micro)
+                .select(args.id_col)
+            )
+            return df.join(keep, args.id_col)
+
+        df = checkpoint("after_lm_filter", _lm_filtered)
+        for _c in _lm_cache:
+            _c.unpersist()
 
     if args.qlr_reference:
-        from deezymatch_spark.operators import fit_quality_lr, score_quality_lr
 
-        # GPT-3's construction (Brown et al. 2020 Appendix A): the
-        # trusted reference is the positive class, a deterministic
-        # sample of the (already deduped) corpus is the negative class
-        ref_text = args.qlr_ref_text_col or args.text_col
-        pos = (
-            spark.read.parquet(args.qlr_reference)
-            .select(F.col(ref_text).alias("_t"), F.lit(1).alias("_y"))
-        )
-        neg_src = (
-            df
-            if args.qlr_neg_fraction >= 1.0
-            else hash_sample(df, args.id_col, args.qlr_neg_fraction,
-                             salt=args.qlr_salt)
-        )
-        neg = neg_src.select(F.col(args.text_col).alias("_t"),
-                             F.lit(0).alias("_y"))
-        # the trainer re-reads its input once per iteration — persist
-        # the (reference + sample)-sized training frame, never the corpus
-        train = pos.unionByName(neg).persist()
-        try:
-            weights = fit_quality_lr(
-                train, "_t", "_y",
-                n_features=args.qlr_features,
-                iters=args.qlr_iters,
-                learning_rate=args.qlr_learning_rate,
+        def _quality_filtered(df=df):
+            from deezymatch_spark.operators import (
+                fit_quality_lr,
+                score_quality_lr,
             )
-        finally:
-            train.unpersist()
-        keep = (
-            score_quality_lr(
-                df, args.id_col, args.text_col, weights,
-                n_features=args.qlr_features,
-                threshold_micro=args.qlr_threshold_micro,
+
+            # GPT-3's construction (Brown et al. 2020 Appendix A): the
+            # trusted reference is the positive class, a deterministic
+            # sample of the (already deduped) corpus is the negative
+            # class
+            ref_text = args.qlr_ref_text_col or args.text_col
+            pos = (
+                spark.read.parquet(args.qlr_reference)
+                .select(F.col(ref_text).alias("_t"), F.lit(1).alias("_y"))
             )
-            .where(F.col("keep"))
-            .select(args.id_col)
-        )
-        df = checkpoint("after_quality_filter", df.join(keep, args.id_col))
+            neg_src = (
+                df
+                if args.qlr_neg_fraction >= 1.0
+                else hash_sample(df, args.id_col, args.qlr_neg_fraction,
+                                 salt=args.qlr_salt)
+            )
+            neg = neg_src.select(F.col(args.text_col).alias("_t"),
+                                 F.lit(0).alias("_y"))
+            # the trainer re-reads its input once per iteration —
+            # persist the (reference + sample)-sized training frame,
+            # never the corpus
+            train = pos.unionByName(neg).persist()
+            try:
+                weights = fit_quality_lr(
+                    train, "_t", "_y",
+                    n_features=args.qlr_features,
+                    iters=args.qlr_iters,
+                    learning_rate=args.qlr_learning_rate,
+                )
+            finally:
+                train.unpersist()
+            keep = (
+                score_quality_lr(
+                    df, args.id_col, args.text_col, weights,
+                    n_features=args.qlr_features,
+                    threshold_micro=args.qlr_threshold_micro,
+                )
+                .where(F.col("keep"))
+                .select(args.id_col)
+            )
+            return df.join(keep, args.id_col)
+
+        df = checkpoint("after_quality_filter", _quality_filtered)
 
     if not args.skip_near_dedup:
         if args.near_method == "minhash":
@@ -646,58 +760,74 @@ def main() -> None:
                 bands=args.bands,
                 hamming_max=args.hamming_max,
             )
-        if args.keep_best:
-            quality = {
-                "length": F.length(F.col(args.text_col)),
-                "quality": None,  # resolved below (lazy import)
-                "entropy": None,
-            }[args.keep_best]
-            if quality is None:
-                from deezymatch_spark.functions import char_entropy, quality_score
+        def _near_deduped(df=df):
+            if args.keep_best:
+                quality = {
+                    "length": F.length(F.col(args.text_col)),
+                    "quality": None,  # resolved below (lazy import)
+                    "entropy": None,
+                }[args.keep_best]
+                if quality is None:
+                    from deezymatch_spark.functions import (
+                        char_entropy,
+                        quality_score,
+                    )
 
-                quality = (
-                    quality_score(F.col(args.text_col))
-                    if args.keep_best == "quality"
-                    else char_entropy(F.col(args.text_col))
+                    quality = (
+                        quality_score(F.col(args.text_col))
+                        if args.keep_best == "quality"
+                        else char_entropy(F.col(args.text_col))
+                    )
+                return dedup_keep_best(
+                    df,
+                    args.id_col,
+                    args.text_col,
+                    quality,
+                    method=args.near_method,
+                    max_block_size=args.max_block_size,
+                    **kw,
                 )
-            df = dedup_keep_best(
+            return near_dedup(
                 df,
                 args.id_col,
                 args.text_col,
-                quality,
                 method=args.near_method,
                 max_block_size=args.max_block_size,
                 **kw,
             )
+
+        if args.work_dir:
+            # the costliest stage (band joins + CC rounds): checkpoint
+            # it so a kill during sequence prep never re-clusters.
+            # Without --work-dir keep the historical single-pass shape
+            # (no extra count; CC's localCheckpoints bound re-use).
+            df = checkpoint("after_near_dedup", _near_deduped)
         else:
-            df = near_dedup(
-                df,
-                args.id_col,
-                args.text_col,
-                method=args.near_method,
-                max_block_size=args.max_block_size,
-                **kw,
-            )
+            df = _near_deduped()
 
     if mix_weights:
-        from deezymatch_spark.functions import whitespace_token_count
-        from deezymatch_spark.operators import apply_token_mix, plan_token_mix
 
-        rates = plan_token_mix(
-            df.withColumn(
-                "_mix_tokens", whitespace_token_count(F.col(args.text_col))
-            ),
-            args.mix_strata_col, "_mix_tokens",
-            mix_weights, args.mix_budget_tokens,
-        )
-        metrics["mix_rates"] = rates
-        df = checkpoint(
-            "after_mix",
-            apply_token_mix(
+        def _mixed(df=df):
+            from deezymatch_spark.functions import whitespace_token_count
+            from deezymatch_spark.operators import (
+                apply_token_mix,
+                plan_token_mix,
+            )
+
+            rates = plan_token_mix(
+                df.withColumn(
+                    "_mix_tokens", whitespace_token_count(F.col(args.text_col))
+                ),
+                args.mix_strata_col, "_mix_tokens",
+                mix_weights, args.mix_budget_tokens,
+            )
+            metrics["mix_rates"] = rates
+            return apply_token_mix(
                 df, args.id_col, args.mix_strata_col, rates,
                 salt=args.mix_salt,
-            ),
-        )
+            )
+
+        df = checkpoint("after_mix", _mixed)
         if args.chunk_max_tokens or args.pack_seq_len:
             # up-sampled copies are distinct training documents:
             # sequence prep needs a unique per-row id, so fold the copy

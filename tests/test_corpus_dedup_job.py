@@ -204,6 +204,100 @@ def test_corpus_dedup_spark_submit(spark, tmp_path):
         assert positions == list(range(len(positions)))
 
 
+def test_work_dir_resume_spark_submit(spark, tmp_path):
+    """--work-dir checkpoints every stage (parquet + lineage metrics);
+    a re-run with the same dir resumes from the checkpoints instead of
+    recomputing, and a re-run with different flags refuses the dir."""
+    inp = str(tmp_path / "docs_in")
+    _corpus(spark).write.parquet(inp)
+    zip_base = str(tmp_path / "deezymatch_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
+    outd = str(tmp_path / "clean_out")
+    wd = str(tmp_path / "wd")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_base + ".zip",
+        os.path.join(REPO, "jobs", "corpus_dedup.py"),
+        "--input", inp, "--output", outd,
+        "--url-col", "url", "--ts-col", "ts",
+        "--jaccard-threshold", "0.8",
+        "--work-dir", wd,
+    ]
+
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                         cwd=str(tmp_path), env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    metrics = json.loads(next(
+        l for l in res.stdout.splitlines() if l.startswith('{"job"')
+    ))
+    assert metrics["input_rows"] == 6
+    assert metrics["after_url_dedup"] == 5
+    assert metrics["after_exact_dedup"] == 4
+    assert metrics["after_near_dedup"] == 3
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(outd).select("doc_id").collect()
+    )
+    assert kept == [2, 3, 6]
+    # every stage checkpointed in execution order, input never copied
+    stages = sorted(d for d in os.listdir(wd) if d.startswith("stage_"))
+    assert stages == [
+        "stage_02_after_url_dedup",
+        "stage_03_after_exact_dedup",
+        "stage_04_after_near_dedup",
+    ]
+    # per-partition lineage metrics written for every stage
+    m = spark.read.parquet(os.path.join(wd, "metrics"))
+    assert {r.stage for r in m.select("stage").distinct().collect()} == {
+        "after_url_dedup", "after_exact_dedup", "after_near_dedup",
+    }
+
+    # simulate a kill after stage 3: later stage lost; TAMPER stage 3's
+    # checkpoint (drop doc 6) to prove resume serves stages <= 3 from
+    # disk — recomputing them from the source would resurrect doc 6
+    # (only stage 2's mtime can be compared after: the test itself
+    # rewrites stage 3 below)
+    mtimes = {
+        s: os.path.getmtime(os.path.join(wd, s, "_SUCCESS"))
+        for s in stages[:1]
+    }
+    shutil.rmtree(os.path.join(wd, "stage_04_after_near_dedup"))
+    s3 = os.path.join(wd, "stage_03_after_exact_dedup")
+    tampered = spark.read.parquet(s3).where("doc_id != 6")
+    tmp3 = str(tmp_path / "s3_tampered")
+    tampered.write.parquet(tmp3)
+    shutil.rmtree(s3)
+    shutil.move(tmp3, s3)
+
+    res2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                          cwd=str(tmp_path), env=env)
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    metrics2 = json.loads(next(
+        l for l in res2.stdout.splitlines() if l.startswith('{"job"')
+    ))
+    assert metrics2["after_exact_dedup"] == 3  # the tampered checkpoint
+    kept2 = sorted(
+        r.doc_id for r in spark.read.parquet(outd).select("doc_id").collect()
+    )
+    assert kept2 == [2, 3]  # doc 6 stayed gone: stages 2-3 not recomputed
+    for s, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(wd, s, "_SUCCESS")) == t
+
+    # a different flag set must refuse the work dir, not wrong-resume
+    res3 = subprocess.run(
+        cmd + ["--skip-near-dedup"], capture_output=True, text=True,
+        timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert res3.returncode != 0
+    assert "different flags" in (res3.stderr + res3.stdout)
+
+
 def test_sequence_prep_flag_validation(tmp_path):
     """chunk and pack are mutually exclusive; pack needs --layout-output.
     argparse rejects both before any Spark time is spent."""
