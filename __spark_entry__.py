@@ -2249,14 +2249,16 @@ def oracle_sql() -> dict[str, str]:
           stops as n_stopwords
         from gc"""
     # C4 constituent: same line/page contract as operators/c4.py —
-    # lines = space-trimmed non-empty chr(10) splits, a line is kept iff
-    # it ends in [.!?"”], has >= 5 \s+ words, and never mentions
-    # 'javascript'; sentences = .!? occurrences in the kept text; the
-    # page gate additionally bans braces and 'lorem ipsum'.
+    # lines = \r?\n splits trimmed of [ \t\r] and non-empty, a line is
+    # kept iff it ends in [.!?"”], has >= 5 non-empty \s+ words, and
+    # never mentions 'javascript'; sentences = .!? occurrences in the
+    # kept text; the page gate additionally bans braces + 'lorem ipsum'.
     c4_sql = f"""
         with csrc as (select doc_id, {C4_EXPR_SQL} as t from documents),
         cl as (select doc_id, t,
-            list_filter(list_transform(string_split(t, chr(10)), l -> trim(l, ' ')), l -> l <> '') as lines
+            list_filter(list_transform(string_split_regex(t, '\\r?\\n'),
+                                       l -> regexp_replace(l, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')),
+                        l -> l <> '') as lines
           from csrc),
         ck as (select doc_id, t, lines,
             list_filter(lines, l -> regexp_matches(l, '[.!?"”]$')

@@ -47,18 +47,33 @@ def c4_clean_lines(
     occurrences in the kept text (the standard sentence proxy; the
     paper does not publish its splitter). Exact integers only, so the
     DuckDB oracle hashes identically.
+
+    Line boundaries are ``\\r?\\n`` and each line is trimmed of ASCII
+    whitespace (space/tab/CR), NOT just spaces: Java-regex ``$``
+    matches *before* a trailing ``\\r``, so an untrimmed CRLF corpus
+    would keep lines (with the ``\\r`` leaked into the training text)
+    that the RE2-based oracle and any sane reading of the rule drop.
+    Word counting likewise ignores empty split tokens so a
+    residually-padded line can never inflate its own word count.
     """
 
     def body(t):
         lines = F.filter(
-            F.transform(F.split(t, "\n", -1), lambda l: F.trim(l)),
+            F.transform(
+                F.split(t, "\r?\n", -1),
+                lambda l: F.regexp_replace(l, r"^[ \t\r]+|[ \t\r]+$", ""),
+            ),
             lambda l: l != "",
         )
         kept = F.filter(
             lines,
             lambda l: l.rlike(_TERMINAL_RE)
             & (
-                F.size(F.split(l, r"\s+", -1))
+                F.size(
+                    F.filter(
+                        F.split(l, r"\s+", -1), lambda w: w != ""
+                    )
+                )
                 >= F.lit(min_words_per_line)
             )
             & ~F.lower(l).contains("javascript"),
@@ -108,6 +123,13 @@ def c4_filter(
     if min_words_per_line < 0 or min_sentences < 0:
         raise ValueError(
             "c4_filter: min_words_per_line / min_sentences must be >= 0"
+        )
+    taken = {"_c4"} | ({"c4"} if keep_signals else set())
+    clash = taken & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"c4_filter: input already has column(s) {sorted(clash)} — "
+            "silently overwriting them would destroy data; rename them"
         )
     orig = F.col(text_col)
     cleaned = c4_clean_lines(

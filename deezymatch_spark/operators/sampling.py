@@ -116,20 +116,32 @@ def plan_token_mix(
     :func:`apply_token_mix` materializes the copies. Strata not in
     ``weights`` get rate 0 (dropped).
 
+    A weighted stratum with NO available tokens gets rate 0 and its
+    budget share is simply not delivered — callers that need the
+    budget met should check for ``rates[k] == 0 and weights[k] > 0``
+    and warn or renormalize (jobs/corpus_dedup.py warns).
+
     Driver-side by design: one map-combined ``groupBy(strata).sum``
     whose result is bounded by the number of domains (the same bounded
-    collect as the IVF centroids), then exact integer arithmetic in
-    Python — the rates become plan literals, so the expensive corpus
+    collect as the IVF centroids), then exact rational arithmetic in
+    Python (``Fraction`` — no float rounding even at 10¹³-token
+    budgets, where ``budget·10⁶`` exceeds double's 53-bit integer
+    range) — the rates become plan literals, so the expensive corpus
     pass stays a pure filter/explode.
     """
+    from fractions import Fraction
+    from math import isfinite
+
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     if not weights:
         raise ValueError("weights must be non-empty")
     for k, w in weights.items():
-        if w < 0:
-            raise ValueError(f"weight for {k!r} must be >= 0, got {w}")
-    wsum = sum(weights.values())
+        if not isfinite(w) or w < 0:
+            raise ValueError(
+                f"weight for {k!r} must be finite and >= 0, got {w}"
+            )
+    wsum = sum(Fraction(w) for w in weights.values())
     if wsum <= 0:
         raise ValueError("weights must sum to > 0")
     avail = {
@@ -144,7 +156,7 @@ def plan_token_mix(
         if a <= 0 or w == 0:
             rates[k] = 0
             continue
-        target = budget_tokens * (w / wsum)
+        target = Fraction(budget_tokens) * Fraction(w) / wsum
         rates[k] = int(round(target * SAMPLE_DENOM / a))
     return rates
 
@@ -170,6 +182,13 @@ def apply_token_mix(
     comparison, and an ``explode(sequence(...))`` whose width is the
     per-row copy count; no join, no UDF, no driver data.
     """
+    for taken in (copy_col, "_n_copies"):
+        if taken in df.columns:
+            raise ValueError(
+                f"apply_token_mix: input already has a {taken!r} column "
+                "(rename it or pass a different copy_col) — silently "
+                "overwriting it would destroy data"
+            )
     for k, v in rates.items():
         if v < 0:
             raise ValueError(f"rate for {k!r} must be >= 0, got {v}")

@@ -352,6 +352,8 @@ def main() -> None:
             ap.error("--mix-weights needs --mix-budget-tokens >= 0")
         if not args.mix_strata_col:
             ap.error("--mix-weights needs --mix-strata-col")
+        import math
+
         mix_weights = {}
         for spec in args.mix_weights:
             k, sep, v = spec.partition("=")
@@ -359,9 +361,12 @@ def main() -> None:
                 w = float(v)
             except ValueError:
                 w = -1.0
-            if not sep or not k or w < 0:
+            # reject nan/inf here, not at the mix stage: nan fails
+            # every comparison below silently and would only blow up
+            # in plan_token_mix AFTER the whole pipeline has run
+            if not sep or not k or not math.isfinite(w) or w < 0:
                 ap.error(f"bad --mix-weights entry {spec!r} "
-                         "(want STRATUM=WEIGHT, weight >= 0)")
+                         "(want STRATUM=WEIGHT, weight finite and >= 0)")
             mix_weights[k] = w
         if not mix_weights or sum(mix_weights.values()) <= 0:
             ap.error("--mix-weights must sum to > 0")
@@ -814,14 +819,36 @@ def main() -> None:
                 plan_token_mix,
             )
 
+            tok_col = "_mix_tokens"
+            while tok_col in df.columns:
+                tok_col += "_"
             rates = plan_token_mix(
                 df.withColumn(
-                    "_mix_tokens", whitespace_token_count(F.col(args.text_col))
+                    tok_col, whitespace_token_count(F.col(args.text_col))
                 ),
-                args.mix_strata_col, "_mix_tokens",
+                args.mix_strata_col, tok_col,
                 mix_weights, args.mix_budget_tokens,
             )
             metrics["mix_rates"] = rates
+            # surface silent budget loss: a weighted stratum with no
+            # surviving tokens delivers none of its share (same
+            # loud-no-op treatment as benchmark_grams/lm_grams == 0)
+            starved = sorted(
+                k for k, w in mix_weights.items() if w > 0 and rates[k] == 0
+            )
+            if starved:
+                import sys
+
+                share = sum(mix_weights[k] for k in starved) / sum(
+                    mix_weights.values()
+                )
+                print(
+                    f"WARNING: mix strata {starved} have no tokens in the "
+                    f"cleaned corpus — {share:.0%} of --mix-budget-tokens "
+                    "will NOT be delivered (check --mix-strata-col values "
+                    "or the upstream filters)",
+                    file=sys.stderr,
+                )
             return apply_token_mix(
                 df, args.id_col, args.mix_strata_col, rates,
                 salt=args.mix_salt,

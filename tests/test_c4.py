@@ -1,10 +1,11 @@
 """C4 rule-set line cleaning + page gates (operators/c4.py).
 
-Semantics contract: lines = non-empty trimmed '\\n' splits; a line is
-kept iff it ends in [.!?"”], has >= min_words_per_line whitespace
-words, and does not mention "javascript" (case-insensitive); pages
-drop on < min_sentences [.!?] occurrences in the KEPT text, any curly
-brace / "lorem ipsum" / blocklist word in the ORIGINAL text.
+Semantics contract: lines = non-empty '\\r?\\n' splits trimmed of
+[ \\t\\r]; a line is kept iff it ends in [.!?"”], has >=
+min_words_per_line non-empty whitespace words, and does not mention
+"javascript" (case-insensitive); pages drop on < min_sentences [.!?]
+occurrences in the KEPT text, any curly brace / "lorem ipsum" /
+blocklist word in the ORIGINAL text.
 """
 
 import re
@@ -18,7 +19,7 @@ TERMINAL = ('.', '!', '?', '"', '”')
 
 def py_clean(text, min_words=5):
     t = text or ""
-    lines = [l.strip(" ") for l in t.split("\n")]
+    lines = [l.strip(" \t\r") for l in re.split(r"\r?\n", t)]
     lines = [l for l in lines if l != ""]
     kept = [
         l for l in lines
@@ -48,6 +49,16 @@ TEXTS = [
     "   \n \n",
     "word " * 10 + "no-period-end",
     "Lorem ipsum dolor sit amet consectetur adipiscing elit.",
+    # CRLF page: Java-regex '$' matches BEFORE a trailing \r, so an
+    # untrimmed implementation keeps these lines with \r leaked into
+    # the cleaned text (and a \r-side word-count off-by-one); the
+    # contract trims [ \t\r] so CRLF and LF pages clean identically
+    "First proper sentence with enough words here.\r\n"
+    "short crlf line.\r\n"
+    "Second proper sentence with enough words too!\r\n",
+    # tab-led line: a raw \s+ split would count a leading empty token
+    # as a word and keep this 4-word line at min_words=5
+    "\tone two three four.\nFive proper words sit right here today.",
 ]
 
 
