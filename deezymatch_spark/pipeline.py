@@ -10,12 +10,17 @@ north_rule:
       S4 transitive closure: large-star/small-star connected components
 
 Every stage is a pure DataFrame -> DataFrame function. When ``work_dir``
-is given, each stage persists its output as Parquet and appends
-per-partition lineage metrics ``(stage, partition_id, rows, ts)`` to
-``<work_dir>/metrics`` — a killed job re-run with the same work_dir
-resumes from the last completed stage (checkpoint/lineage requirement
-of the north rule; stands in for Iceberg tables, which need a runtime
-jar this sandbox doesn't ship — the write pattern is identical).
+is given, each stage persists its output as Parquet and writes
+per-partition lineage metrics ``(partition_id, rows, ts)`` as the
+``stage=<name>`` partition of ``<work_dir>/metrics`` — a killed job
+re-run with the same work_dir resumes from the last completed stage
+(checkpoint/lineage requirement of the north rule; stands in for
+Iceberg tables, which need a runtime jar this sandbox doesn't ship —
+the write pattern is identical). The metrics write is fenced by a
+per-stage marker and uses dynamic partition overwrite, so a kill
+between a stage's _SUCCESS and its metrics commit heals on resume and
+a re-executed stage replaces its lineage rows instead of appending
+duplicates (see :func:`_write_stage`).
 
 The reference has no pipeline like this (it is a single-process library,
 DeezyMatch/candidateRanker.py:355-578 scores exhaustively); the staging,
@@ -91,6 +96,66 @@ def _drop_marker(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, False)
 
 
+def _read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file through the Hadoop FS API (works on
+    s3a://, hdfs:// like the _SUCCESS probes; NOT sc.textFile, which
+    treats leading-underscore files as hidden and refuses the path)."""
+    jvm = spark._jvm
+    fs, hpath = _fs_path(spark, path)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(fs.open(hpath), baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API (creates
+    parents, overwrites). Driver-side config/metrics sidecars only —
+    data goes through DataFrame writers."""
+    fs, hpath = _fs_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _write_stage(spark: SparkSession, d, work_dir: str, path: str, name: str) -> DataFrame:
+    """Idempotently materialize one stage: Parquet at ``path`` plus its
+    per-partition lineage rows as the ``stage=<name>`` partition of
+    ``<work_dir>/metrics``. ``d`` is a DataFrame or a thunk (invoked
+    only when the stage actually executes, so driver-side model fits
+    inside thunks are skipped on resume).
+
+    The metrics write is NOT atomic with the stage commit, so it is
+    fenced by a per-stage marker: a kill between the stage's _SUCCESS
+    and the metrics commit leaves the marker absent and the resume
+    rewrites the lineage rows from the stage parquet; a re-executed
+    stage (its marker dropped before the rewrite) REPLACES its
+    ``stage=`` partition via dynamic partition overwrite instead of
+    appending duplicate rows — lineage audits never read double
+    counts.
+    """
+    mmark = os.path.join(work_dir, "_metrics_done", name)
+    if not _is_done(spark, path):
+        # the stage (re)executes: its old lineage rows are stale
+        _drop_marker(spark, mmark)
+        d = d() if callable(d) else d
+        t0 = time.time()
+        d.write.mode("overwrite").parquet(path)
+        if os.environ.get("DZM_STAGE_TIMING"):
+            print(f"[stage {name}] {time.time() - t0:.1f}s")
+    if not _marker_exists(spark, mmark):
+        (
+            stage_metrics(spark.read.parquet(path), name)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stage")
+            .parquet(os.path.join(work_dir, "metrics"))
+        )
+        _touch_marker(spark, mmark)
+    return spark.read.parquet(path)
+
+
 def _materialize(
     spark: SparkSession, df: DataFrame, work_dir: str | None, name: str
 ) -> DataFrame:
@@ -98,16 +163,7 @@ def _materialize(
     lineage, enables resume). No-op pass-through without work_dir."""
     if work_dir is None:
         return df
-    path = _stage_path(work_dir, name)
-    if not _is_done(spark, path):
-        t0 = time.time()
-        df.write.mode("overwrite").parquet(path)
-        stage_metrics(spark.read.parquet(path), name).write.mode("append").parquet(
-            os.path.join(work_dir, "metrics")
-        )
-        if os.environ.get("DZM_STAGE_TIMING"):
-            print(f"[stage {name}] {time.time() - t0:.1f}s")
-    return spark.read.parquet(path)
+    return _write_stage(spark, df, work_dir, _stage_path(work_dir, name), name)
 
 
 def er_stages(

@@ -81,8 +81,12 @@ checkpoints its output parquet + per-partition lineage metrics there
 deezymatch_spark/pipeline.py); a killed job re-run with the same
 work dir resumes from the last completed stage — including skipping
 the driver-side model fits (LM, quality-LR, mix plan) of finished
-stages. The work dir is fingerprinted with the job's flags: reusing
-it with different flags errors out instead of resuming wrong data.
+stages; their metrics (benchmark_grams, lm_grams, mix_rates) and any
+warnings are replayed from ``<work-dir>/driver_metrics.json`` so the
+resumed run's metrics line matches a fresh run's. The work dir is
+fingerprinted with the job's flags (list flags order-normalized):
+reusing it with different flags errors out instead of resuming wrong
+data.
 """
 
 from __future__ import annotations
@@ -417,49 +421,96 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     metrics: dict[str, int] = {}
 
+    # driver-side metrics (model fits, mix rates, emitted warnings) are
+    # computed inside stage thunks that a --work-dir resume SKIPS: write
+    # them through to a sidecar the moment they're recorded so a resumed
+    # run's metrics line has the identical shape to a fresh run's
+    driver_metrics: dict = {}
+
+    def _flush_driver_metrics():
+        if args.work_dir:
+            import os as _os
+
+            from deezymatch_spark.pipeline import _write_text
+
+            _write_text(
+                spark,
+                _os.path.join(args.work_dir, "driver_metrics.json"),
+                json.dumps(driver_metrics, sort_keys=True),
+            )
+
+    def record(key: str, value):
+        metrics[key] = value
+        driver_metrics[key] = value
+        _flush_driver_metrics()
+
+    def warn(msg: str):
+        import sys
+
+        print(f"WARNING: {msg}", file=sys.stderr)
+        seen = driver_metrics.setdefault("_warnings", [])
+        if msg not in seen:  # a re-executed stage re-detects, not re-logs
+            seen.append(msg)
+        _flush_driver_metrics()
+
     if args.work_dir:
         # pin the work dir to this job's flags: resuming a stage chain
         # built by DIFFERENT flags would silently serve wrong data
         # (conditional stages shift both numbering and semantics)
         import os as _os
+        import sys as _sys
 
         from deezymatch_spark.pipeline import (
-            _is_done,
             _marker_exists,
-            stage_metrics,
+            _read_text,
+            _write_text,
         )
 
+        def _fp_norm(k, v):
+            # list-valued flags are order-insensitive (K=V specs parse
+            # last-wins into dicts; the blocklist is OR'd): normalize so
+            # a reordered but identical resume invocation isn't refused
+            if isinstance(v, list):
+                if k in ("sample_rates", "mix_weights"):
+                    d = {}
+                    for spec in v:
+                        key, _, val = spec.partition("=")
+                        d[key] = val
+                    return sorted(f"{a}={b}" for a, b in d.items())
+                return sorted(set(v))
+            return v
+
         config = json.dumps(
-            {k: v for k, v in sorted(vars(args).items()) if k != "work_dir"},
+            {
+                k: _fp_norm(k, v)
+                for k, v in sorted(vars(args).items())
+                if k != "work_dir"
+            },
             sort_keys=True,
         )
         cfg_path = _os.path.join(args.work_dir, "_CONFIG")
         if _marker_exists(spark, cfg_path):
-            # read through the Hadoop FS API (works on s3a://, hdfs://
-            # like the _SUCCESS probes; NOT sc.textFile, which treats
-            # leading-underscore files as hidden and refuses the path)
-            jvm = spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(cfg_path)
-            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            baos = jvm.java.io.ByteArrayOutputStream()
-            jvm.org.apache.hadoop.io.IOUtils.copyBytes(
-                fs.open(hpath), baos, 4096, True
-            )
-            existing = bytes(baos.toByteArray()).decode("utf-8")
+            existing = _read_text(spark, cfg_path)
             if existing != config:
                 ap.error(
                     f"--work-dir {args.work_dir} was built with different "
                     "flags; use a fresh work dir (or the original flags)"
                 )
         else:
-            jvm = spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(cfg_path)
-            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            out = fs.create(hpath, True)
-            try:
-                out.write(bytearray(config.encode("utf-8")))
-            finally:
-                out.close()
+            _write_text(spark, cfg_path, config)
+
+        side_path = _os.path.join(args.work_dir, "driver_metrics.json")
+        if _marker_exists(spark, side_path):
+            loaded = json.loads(_read_text(spark, side_path))
+            driver_metrics.update(loaded)
+            for w in loaded.pop("_warnings", []):
+                # conditions like an empty benchmark stay true on resume
+                # but their stages won't re-run to re-detect them
+                print(
+                    f"WARNING (recorded by the original run): {w}",
+                    file=_sys.stderr,
+                )
+            metrics.update(loaded)
 
     # per-stage counts would otherwise recompute every earlier stage
     # (O(stages²) at corpus scale): persist each counted stage, drop
@@ -477,16 +528,12 @@ def main() -> None:
         if args.work_dir:
             import os as _os
 
+            from deezymatch_spark.pipeline import _write_stage
+
             path = _os.path.join(
                 args.work_dir, f"stage_{stage_seq:02d}_{stage}"
             )
-            if not _is_done(spark, path):
-                d = d() if callable(d) else d
-                d.write.mode("overwrite").parquet(path)
-                stage_metrics(spark.read.parquet(path), stage).write.mode(
-                    "append"
-                ).parquet(_os.path.join(args.work_dir, "metrics"))
-            out = spark.read.parquet(path)
+            out = _write_stage(spark, d, args.work_dir, path, stage)
             if not args.no_metrics:
                 metrics[stage] = out.count()
             return out
@@ -629,16 +676,13 @@ def main() -> None:
                     )
                 )
             ).count()
-            metrics["benchmark_grams"] = n_bench_grams
+            record("benchmark_grams", n_bench_grams)
             if n_bench_grams == 0:
-                import sys
-
-                print(
-                    f"WARNING: benchmark produced 0 word-"
+                warn(
+                    f"benchmark produced 0 word-"
                     f"{args.decontam_ngram}-grams (all rows shorter than "
                     "the gram size?) — the decontamination stage will "
-                    "not drop anything; lower --decontam-ngram",
-                    file=sys.stderr,
+                    "not drop anything; lower --decontam-ngram"
                 )
             return decontaminate(
                 df, bench, args.id_col, args.text_col,
@@ -675,17 +719,14 @@ def main() -> None:
                 # surface it loudly
                 lm = lm.persist()
                 _lm_cache.append(lm)
-                metrics["lm_grams"] = lm.count()
+                record("lm_grams", lm.count())
                 if metrics["lm_grams"] == 0:
-                    import sys
-
-                    print(
-                        "WARNING: the char-ngram LM is empty (fit slice "
+                    warn(
+                        "the char-ngram LM is empty (fit slice "
                         "too small for --lm-min-count?) — every gram "
                         "scores at the unseen floor (~16.1 nats) and "
                         "--lm-max-nll becomes all-or-nothing; raise "
-                        "--lm-fit-fraction or lower --lm-min-count",
-                        file=sys.stderr,
+                        "--lm-fit-fraction or lower --lm-min-count"
                     )
             max_nll_micro = int(round(args.lm_max_nll * 1_000_000))
             keep = (
@@ -829,7 +870,7 @@ def main() -> None:
                 args.mix_strata_col, tok_col,
                 mix_weights, args.mix_budget_tokens,
             )
-            metrics["mix_rates"] = rates
+            record("mix_rates", rates)
             # surface silent budget loss: a weighted stratum with no
             # surviving tokens delivers none of its share (same
             # loud-no-op treatment as benchmark_grams/lm_grams == 0)
@@ -837,17 +878,14 @@ def main() -> None:
                 k for k, w in mix_weights.items() if w > 0 and rates[k] == 0
             )
             if starved:
-                import sys
-
                 share = sum(mix_weights[k] for k in starved) / sum(
                     mix_weights.values()
                 )
-                print(
-                    f"WARNING: mix strata {starved} have no tokens in the "
+                warn(
+                    f"mix strata {starved} have no tokens in the "
                     f"cleaned corpus — {share:.0%} of --mix-budget-tokens "
                     "will NOT be delivered (check --mix-strata-col values "
-                    "or the upstream filters)",
-                    file=sys.stderr,
+                    "or the upstream filters)"
                 )
             return apply_token_mix(
                 df, args.id_col, args.mix_strata_col, rates,

@@ -288,12 +288,112 @@ def test_work_dir_resume_spark_submit(spark, tmp_path):
     assert kept2 == [2, 3]  # doc 6 stayed gone: stages 2-3 not recomputed
     for s, t in mtimes.items():
         assert os.path.getmtime(os.path.join(wd, s, "_SUCCESS")) == t
+    # the re-executed stage REPLACED its lineage partition (dynamic
+    # partition overwrite) — an append would double every partition row
+    m2 = spark.read.parquet(os.path.join(wd, "metrics"))
+    dup = (
+        m2.groupBy("stage", "partition_id").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+    # simulate a kill BETWEEN a stage's _SUCCESS and its metrics commit:
+    # drop the fence marker + the lineage partition; resume must rewrite
+    # the partition from the stage parquet WITHOUT recomputing the stage
+    os.remove(os.path.join(wd, "_metrics_done", "after_url_dedup"))
+    shutil.rmtree(os.path.join(wd, "metrics", "stage=after_url_dedup"))
+    t_before = os.path.getmtime(
+        os.path.join(wd, "stage_02_after_url_dedup", "_SUCCESS")
+    )
+    res_heal = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=600, cwd=str(tmp_path), env=env)
+    assert res_heal.returncode == 0, res_heal.stderr[-3000:]
+    m3 = spark.read.parquet(os.path.join(wd, "metrics"))
+    healed = m3.where(F.col("stage") == "after_url_dedup")
+    assert healed.agg(F.sum("rows")).collect()[0][0] == 5
+    assert os.path.getmtime(
+        os.path.join(wd, "stage_02_after_url_dedup", "_SUCCESS")
+    ) == t_before
 
     # a different flag set must refuse the work dir, not wrong-resume
     res3 = subprocess.run(
         cmd + ["--skip-near-dedup"], capture_output=True, text=True,
         timeout=600, cwd=str(tmp_path), env=env,
     )
+    assert res3.returncode != 0
+    assert "different flags" in (res3.stderr + res3.stdout)
+
+
+def test_resume_replays_driver_metrics(spark, tmp_path):
+    """Driver-side values computed inside stage thunks (mix rates,
+    warnings) are persisted to <work-dir>/driver_metrics.json: a resumed
+    run — which skips the thunks — reports the identical metrics line
+    and replays the recorded warnings; list-valued flags are
+    order-normalized in the work-dir fingerprint so a reordered but
+    identical invocation resumes instead of being refused."""
+    inp = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [
+            (1, "alpha body text one two three", "a"),
+            (2, "totally different second page words", "a"),
+            (3, "third unrelated body about spark", "b"),
+        ],
+        "doc_id long, text string, domain string",
+    ).write.parquet(inp)
+    zip_base = str(tmp_path / "deezymatch_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
+    outd = str(tmp_path / "clean_out")
+    wd = str(tmp_path / "wd")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+
+    def cmd(weights):
+        return [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_base + ".zip",
+            os.path.join(REPO, "jobs", "corpus_dedup.py"),
+            "--input", inp, "--output", outd,
+            "--skip-near-dedup", "--work-dir", wd,
+            "--mix-strata-col", "domain", "--mix-budget-tokens", "40",
+            "--mix-weights", *weights,
+        ]
+
+    # stratum 'c' is weighted but absent -> rate 0 + a recorded warning
+    res = subprocess.run(cmd(["a=1", "b=1", "c=2"]), capture_output=True,
+                         text=True, timeout=600, cwd=str(tmp_path), env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    metrics = json.loads(next(
+        l for l in res.stdout.splitlines() if l.startswith('{"job"')
+    ))
+    assert set(metrics["mix_rates"]) == {"a", "b", "c"}
+    assert metrics["mix_rates"]["c"] == 0
+    # spark-submit's PythonRunner merges the driver's stderr into
+    # stdout (redirectErrorStream) — check both streams
+    assert "mix strata ['c'] have no tokens" in (res.stderr + res.stdout)
+
+    # resume with the SAME weights in a different order: accepted (the
+    # fingerprint sorts list flags), the mix thunk is skipped, yet
+    # mix_rates and the warning come back from the sidecar
+    res2 = subprocess.run(cmd(["c=2", "b=1", "a=1"]), capture_output=True,
+                          text=True, timeout=600, cwd=str(tmp_path), env=env)
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    metrics2 = json.loads(next(
+        l for l in res2.stdout.splitlines() if l.startswith('{"job"')
+    ))
+    assert metrics2["mix_rates"] == metrics["mix_rates"]
+    assert "recorded by the original run" in (res2.stderr + res2.stdout)
+    assert "mix strata ['c'] have no tokens" in (res2.stderr + res2.stdout)
+    # stage outputs actually resumed, not recomputed
+    assert metrics2["output_rows"] == metrics["output_rows"]
+
+    # genuinely different weights still refuse the dir
+    res3 = subprocess.run(cmd(["a=1", "b=2", "c=2"]), capture_output=True,
+                          text=True, timeout=600, cwd=str(tmp_path), env=env)
     assert res3.returncode != 0
     assert "different flags" in (res3.stderr + res3.stdout)
 
