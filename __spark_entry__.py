@@ -314,6 +314,9 @@ def q_vector_topk(spark, sf):
 RANKER_THRESHOLD = 20.0
 RANKER_K = 5
 RANKER_LENGTH_DIFF = 120
+# events sessionization gap: the sf0.01 median inter-event gap per user
+# is ~7.3 h, so 8 h yields a real mix of multi-event sessions and splits
+EVENTS_SESSION_GAP_SEC = 28800.0
 
 
 def _ranker_tables(spark, sf):
@@ -1040,15 +1043,43 @@ def q_incremental_clusters(spark, sf):
     )
 
 
-def q_events_hourly(spark, sf):
+def q_events_signals(spark, sf):
+    """Composite (contract stays at 50): watermark-shaped hourly rollup
+    ∪ per-session rollups (operators/sessions.py:session_stats — the
+    native F.session_window aggregation; boundary rule 'merge at
+    exactly the gap' mirrored by the oracle's lag-based
+    gaps-and-islands SQL). Aligned schema, kind-discriminated."""
+    from deezymatch_spark.operators import session_stats
+
     e = _t(spark, sf, "events")
-    return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("t0"),
         F.col("event_type"),
     ).agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.sum("value"), 6).alias("sum_value"),
+    ).select(
+        F.lit("hourly").alias("kind"),
+        F.col("event_type").alias("key"),
+        "t0",
+        F.col("t0").alias("t1"),
+        "n",
+        "sum_value",
+        F.lit(0).cast("long").alias("dur_us"),
     )
+    sess = session_stats(
+        e, "user_id", "ts", gap_seconds=EVENTS_SESSION_GAP_SEC,
+        value_col="value",
+    ).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_start").alias("t0"),
+        F.col("session_end").alias("t1"),
+        F.col("n_events").alias("n"),
+        "sum_value",
+        "dur_us",
+    )
+    return hourly.unionByName(sess)
 
 
 # ------- NFKD parity (rows-only: DuckDB lacks NFKD), ANN, multimodal,
@@ -1326,7 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_samples": q_hash_samples,
         "bcubed_eval": q_bcubed_eval,
         "incremental_clusters": q_incremental_clusters,
-        "events_hourly": q_events_hourly,
+        "events_signals": q_events_signals,
         "map_metric": q_map_metric,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2044,10 +2075,40 @@ def oracle_sql() -> dict[str, str]:
             select src.doc_id as doc_id,
                    coalesce(comp.component, src.doc_id) as cluster_id
             from src left join comp on comp.node = src.doc_id""",
-        "events_hourly": """
-            select date_trunc('hour', ts) as hour, event_type,
-                   count(*) as n, round(sum(value), 6) as sum_value
-            from events group by 1, 2""",
+        # events composite: hourly rollup ∪ per-session rollup. Session
+        # boundary rule mirrors Spark's session_window exactly — an
+        # event at EXACTLY the gap merges (break iff diff > gap), in
+        # exact integer microseconds. All integer outputs cast bigint
+        # (dtype-audit rule: DuckDB hugeint -> pandas float64 diverges).
+        "events_signals": f"""
+            with s0 as (
+              select user_id, ts, value,
+                     lag(ts) over (partition by user_id order by ts) as prev
+              from events),
+            s1 as (
+              select *, case when prev is null or
+                     epoch_us(ts) - epoch_us(prev) > {int(EVENTS_SESSION_GAP_SEC * 1_000_000)}
+                     then 1 else 0 end as brk
+              from s0),
+            s2 as (
+              select *, sum(brk) over (partition by user_id order by ts
+                         rows between unbounded preceding and current row) as seq
+              from s1),
+            sess as (
+              select 'session' as kind, cast(user_id as varchar) as key,
+                     min(ts) as t0, max(ts) as t1,
+                     cast(count(*) as bigint) as n,
+                     round(sum(value), 6) as sum_value,
+                     cast(epoch_us(max(ts)) - epoch_us(min(ts)) as bigint) as dur_us
+              from s2 group by user_id, seq),
+            hourly as (
+              select 'hourly' as kind, event_type as key,
+                     date_trunc('hour', ts) as t0, date_trunc('hour', ts) as t1,
+                     cast(count(*) as bigint) as n,
+                     round(sum(value), 6) as sum_value,
+                     cast(0 as bigint) as dur_us
+              from events group by 1, 2, 3, 4)
+            select * from hourly union all select * from sess""",
         "ivf_ann_topk": f"""
             with c as (select vec_id as cid, embedding as cv from embeddings),
             q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 20),

@@ -228,7 +228,7 @@ def main() -> None:
         "lsh_band_keys",
         "sq_l2_topk",
         "simhash",
-        "events_hourly",
+        "events_signals",
     ]
     if args.only:
         names = [n for n in names if n in args.only] or args.only

@@ -42,6 +42,7 @@ from .packing import (
 )
 from .metrics import bcubed, classification_metrics, mean_average_precision
 from .ranker import candidate_ranker, validate_ranker_args
+from .sessions import session_stats, sessionize
 from .sampling import (
     apply_token_mix,
     hash_sample,
@@ -58,6 +59,7 @@ __all__ = [
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
     "dedup_keep_best",
     "hash_sample", "stratified_hash_sample", "sample_bucket",
+    "session_stats", "sessionize",
     "apply_token_mix", "plan_token_mix",
     "contaminated_docs", "decontaminate",
     "GOPHER_DEFAULTS", "gopher_filter",

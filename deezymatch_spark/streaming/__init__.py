@@ -5,6 +5,8 @@ from .ops import (
     streaming_entity_matches,
     streaming_exact_dedup,
     streaming_pages_normalize,
+    streaming_session_stats,
+    streaming_user_sessions,
     windowed_event_counts,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "windowed_event_counts",
     "streaming_entity_matches",
     "streaming_exact_dedup",
+    "streaming_session_stats",
+    "streaming_user_sessions",
     "release_query_caches",
 ]

@@ -23,6 +23,8 @@ __all__ = [
     "windowed_event_counts",
     "streaming_entity_matches",
     "streaming_exact_dedup",
+    "streaming_session_stats",
+    "streaming_user_sessions",
     "release_query_caches",
 ]
 
@@ -107,6 +109,171 @@ def windowed_event_counts(
             "n",
             "sum_value",
         )
+    )
+
+
+def streaming_session_stats(
+    events_stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_seconds: float = 1800.0,
+    watermark: str = "2 hours",
+    value_col: str | None = None,
+    type_col: str | None = None,
+) -> DataFrame:
+    """Per-session rollups on an event stream — the batch
+    ``operators.sessions.session_stats`` expression UNCHANGED on a
+    watermarked stream (``F.session_window`` is the unified
+    batch/streaming built-in; that symmetry is the point). In append
+    mode a session emits once the watermark passes its close; state is
+    bounded by the number of OPEN sessions, evicted on emit."""
+    from ..operators.sessions import session_stats
+
+    s = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return session_stats(
+        s.withWatermark(ts_col, watermark),
+        user_col,
+        ts_col,
+        gap_seconds=gap_seconds,
+        value_col=value_col,
+        type_col=type_col,
+    )
+
+
+def streaming_user_sessions(
+    events_stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap_seconds: float = 1800.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the escape hatch for per-session statistics the built-in
+    ``session_window`` aggregation CANNOT express because they depend
+    on event ORDER within the session. Emitted here: ``max_gap_us``,
+    the largest inter-event silence inside the session (the classic
+    engagement/bot signal) — not a commutative aggregate, so no
+    ``groupBy(session_window).agg(...)`` can compute it.
+
+    One state row per (user, open session): ``(start_us, last_us,
+    n_events, max_gap_us)``, all exact integer microseconds. A session
+    closes and emits either when a later event arrives past the gap
+    (``closed_by='gap'``) or when the event-time watermark passes
+    ``last_ts + gap`` with no successor (``closed_by='timeout'``,
+    which also evicts the state row — state is bounded by open
+    sessions, exactly like the built-in).
+
+    Ordering contract: rows are folded in timestamp order WITHIN each
+    micro-batch; a late row landing inside the open session merges
+    without re-splitting it (its gap contribution is skipped rather
+    than miscounted). Heavily reordered streams that need exact
+    session re-splitting should use :func:`streaming_session_stats` —
+    this operator exists for the order-dependent statistic.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = int(round(gap_seconds * 1_000_000))
+    if gap_us <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    s = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    s = s.withWatermark(ts_col, watermark)
+    user_field = s.schema[user_col]
+    out_schema = StructType(
+        [
+            StructField(user_col, user_field.dataType),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("max_gap_us", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_gap_us", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user = key[0]
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    user_col: [r[0] for r in rows],
+                    "session_start": [
+                        pd.Timestamp(r[1], unit="us") for r in rows
+                    ],
+                    "session_end": [
+                        pd.Timestamp(r[2], unit="us") for r in rows
+                    ],
+                    "n_events": [r[3] for r in rows],
+                    "max_gap_us": [r[4] for r in rows],
+                    "closed_by": [r[5] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, mx = state.get
+            state.remove()
+            yield emit([(user, start_us, last_us, n, mx, "timeout")])
+            return
+
+        start_us = last_us = None
+        n = mx = 0
+        if state.exists:
+            start_us, last_us, n, mx = state.get
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(
+                pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+            )
+        closed = []
+        # plain ints: GroupState JSON-serializes the state tuple and
+        # numpy int64 is not JSON serializable
+        for t in sorted(int(x) for arr in ts_all for x in arr):
+            if start_us is None:
+                start_us, last_us, n, mx = t, t, 1, 0
+            elif t - last_us > gap_us:
+                closed.append((user, start_us, last_us, n, mx, "gap"))
+                start_us, last_us, n, mx = t, t, 1, 0
+            else:
+                # late (t <= last_us) rows merge without a gap sample
+                mx = max(mx, t - last_us) if t > last_us else mx
+                last_us = max(last_us, t)
+                n += 1
+        if start_us is not None:
+            state.update((start_us, last_us, n, mx))
+            # never set a timeout at/behind the watermark (API contract)
+            state.setTimeoutTimestamp(
+                max(
+                    last_us // 1_000 + gap_us // 1_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        if closed:
+            yield emit(closed)
+
+    return s.groupBy(user_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -144,3 +144,31 @@ def test_sentence_dedup_broadcasts_the_duplicate_set(spark):
     ops = _ops(sentence_dedup(_docs(spark), "doc_id", "text", min_count=2))
     assert "BroadcastHashJoin" in ops, ops   # anti-join vs the dup set
     assert "SortMergeJoin" not in ops, ops
+
+
+def test_sessionize_single_user_key_exchange(spark):
+    from deezymatch_spark.operators import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts")
+    ops = _ops(sessionize(ev, "user_id", "ts", gap_seconds=600))
+    # lag, running sum, and running session_start all share the ONE
+    # user-key window — a second Exchange means someone re-derived
+    # session_start from a (user, session_seq) partition
+    assert _shuffles(ops) == 1, ops
+    assert not _python(ops), ops
+
+
+def test_session_stats_single_exchange_partial_agg(spark):
+    from deezymatch_spark.operators import session_stats
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    ops = _ops(session_stats(ev, "user_id", "ts", gap_seconds=600,
+                             value_col="value"))
+    assert _shuffles(ops) == 1, ops
+    assert not _python(ops), ops
+    # the native session-window operator (UpdatingSessions when a
+    # distinct agg forces separate update/merge, MergingSessions when
+    # the partial aggregation fuses)
+    assert any("Sessions" in o for o in ops), ops
