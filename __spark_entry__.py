@@ -2084,10 +2084,10 @@ def oracle_sql() -> dict[str, str]:
             with s0 as (
               select user_id, ts, value,
                      lag(ts) over (partition by user_id order by ts) as prev
-              from events),
+              from events where ts is not null),
             s1 as (
               select *, case when prev is null or
-                     epoch_us(ts) - epoch_us(prev) > {int(EVENTS_SESSION_GAP_SEC * 1_000_000)}
+                     epoch_us(ts) - epoch_us(prev) > {int(round(EVENTS_SESSION_GAP_SEC * 1_000_000))}
                      then 1 else 0 end as brk
               from s0),
             s2 as (

@@ -46,9 +46,12 @@ def sessionize(
     *,
     gap_seconds: float = 1800.0,
 ) -> DataFrame:
-    """Per-event session assignment: every input row + ``session_seq``
-    (1-based ordinal of the session within the user) and
-    ``session_start`` (the session's first event time).
+    """Per-event session assignment: every input row with a non-null
+    timestamp + ``session_seq`` (1-based ordinal of the session within
+    the user) and ``session_start`` (the session's first event time).
+    Null-``ts_col`` rows are DROPPED — the same rule the native
+    ``session_window`` applies (its plan inserts ``isnotnull``), so the
+    two operators always carve identical sessions.
 
     Gaps-and-islands as two window expressions over ONE user-key
     shuffle: ``lag(ts)`` marks rows that start a new session
@@ -63,6 +66,10 @@ def sessionize(
             "sessionize: input already has session_seq/session_start — "
             "silently overwriting them would destroy data; rename them"
         )
+    # null-timestamp rows are dropped, matching session_window exactly
+    # (its plan inserts Filter isnotnull(ts)) — without this the two
+    # operators would disagree on corpora with missing event times
+    events = events.where(F.col(ts_col).isNotNull())
     # ordering by ts alone is enough: rows with EQUAL timestamps can
     # never break a session (diff 0 <= gap), so every emitted value is
     # invariant to how the window orders ties — no tie-breaker column,

@@ -119,6 +119,24 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Crash-safe sidecar rewrite: write ``<path>.tmp`` fully, delete
+    the old file, rename the tmp in. A kill mid-write leaves the OLD
+    contents intact; a kill between delete and rename leaves the file
+    absent (callers treat missing as empty) — never truncated JSON
+    that bricks every later read. Hadoop rename won't clobber, hence
+    the explicit delete."""
+    fs, hpath = _fs_path(spark, path)
+    _, tmp = _fs_path(spark, path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
 def _write_stage(spark: SparkSession, d, work_dir: str, path: str, name: str) -> DataFrame:
     """Idempotently materialize one stage: Parquet at ``path`` plus its
     per-partition lineage rows as the ``stage=<name>`` partition of
@@ -136,6 +154,7 @@ def _write_stage(spark: SparkSession, d, work_dir: str, path: str, name: str) ->
     counts.
     """
     mmark = os.path.join(work_dir, "_metrics_done", name)
+    metrics_dir = os.path.join(work_dir, "metrics")
     if not _is_done(spark, path):
         # the stage (re)executes: its old lineage rows are stale
         _drop_marker(spark, mmark)
@@ -145,15 +164,33 @@ def _write_stage(spark: SparkSession, d, work_dir: str, path: str, name: str) ->
         if os.environ.get("DZM_STAGE_TIMING"):
             print(f"[stage {name}] {time.time() - t0:.1f}s")
     if not _marker_exists(spark, mmark):
+        _purge_flat_metrics(spark, metrics_dir)
         (
             stage_metrics(spark.read.parquet(path), name)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("stage")
-            .parquet(os.path.join(work_dir, "metrics"))
+            .parquet(metrics_dir)
         )
         _touch_marker(spark, mmark)
     return spark.read.parquet(path)
+
+
+def _purge_flat_metrics(spark: SparkSession, metrics_dir: str) -> None:
+    """Migrate a pre-partition-layout metrics dir: older versions
+    APPENDED flat part files (with ``stage`` as a data column) to the
+    metrics root; mixing those with the ``stage=<name>`` partition dirs
+    breaks partition discovery ('conflicting directory structures') and
+    preserves the old duplicate rows. Deleting the flat files is
+    lossless: every stage whose per-stage marker is absent (all of
+    them, on a pre-upgrade dir) rewrites its lineage partition from the
+    stage parquet as the resume touches it."""
+    fs, hdir = _fs_path(spark, metrics_dir)
+    if not fs.exists(hdir):
+        return
+    for st in fs.listStatus(hdir):
+        if st.isFile():
+            fs.delete(st.getPath(), False)
 
 
 def _materialize(

@@ -166,11 +166,22 @@ def streaming_user_sessions(
     sessions, exactly like the built-in).
 
     Ordering contract: rows are folded in timestamp order WITHIN each
-    micro-batch; a late row landing inside the open session merges
-    without re-splitting it (its gap contribution is skipped rather
-    than miscounted). Heavily reordered streams that need exact
+    micro-batch; a cross-batch late row inside the open session merges
+    without re-splitting it (a non-positive gap is never sampled), one
+    EARLIER than the open session's start extends the start backwards
+    (gap-sampled against the old start), and one more than the gap
+    before the start emits immediately as its own single-event session
+    (``closed_by='late'``). Heavily reordered streams that need exact
     session re-splitting should use :func:`streaming_session_stats` —
     this operator exists for the order-dependent statistic.
+
+    Timezone safety: all state/timeout arithmetic runs on TRUE epoch
+    microseconds computed JVM-side (``unix_micros``), never on the
+    session-timezone wall-clock timestamps Arrow hands to pandas —
+    ``setTimeoutTimestamp``/``getCurrentWatermarkMs`` are epoch-based,
+    so wall-clock math would shift every timeout by the tz offset.
+    Emitted timestamps are built tz-aware (UTC) so Spark stores the
+    exact instants under any ``spark.sql.session.timeZone``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -181,11 +192,12 @@ def streaming_user_sessions(
         TimestampType,
     )
 
-    gap_us = int(round(gap_seconds * 1_000_000))
-    if gap_us <= 0:
-        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    from ..operators.sessions import _gap_us
+
+    gap_us = _gap_us(gap_seconds)
     s = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     s = s.withWatermark(ts_col, watermark)
+    s = s.withColumn("_us", F.unix_micros(F.col(ts_col)))
     user_field = s.schema[user_col]
     out_schema = StructType(
         [
@@ -216,10 +228,10 @@ def streaming_user_sessions(
                 {
                     user_col: [r[0] for r in rows],
                     "session_start": [
-                        pd.Timestamp(r[1], unit="us") for r in rows
+                        pd.Timestamp(r[1], unit="us", tz="UTC") for r in rows
                     ],
                     "session_end": [
-                        pd.Timestamp(r[2], unit="us") for r in rows
+                        pd.Timestamp(r[2], unit="us", tz="UTC") for r in rows
                     ],
                     "n_events": [r[3] for r in rows],
                     "max_gap_us": [r[4] for r in rows],
@@ -237,31 +249,39 @@ def streaming_user_sessions(
         n = mx = 0
         if state.exists:
             start_us, last_us, n, mx = state.get
-        ts_all = []
+        us_all = []
         for pdf in pdfs:
-            ts_all.append(
-                pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
-            )
+            us_all.append(pdf["_us"].to_numpy())
         closed = []
         # plain ints: GroupState JSON-serializes the state tuple and
         # numpy int64 is not JSON serializable
-        for t in sorted(int(x) for arr in ts_all for x in arr):
+        for t in sorted(int(x) for arr in us_all for x in arr):
             if start_us is None:
                 start_us, last_us, n, mx = t, t, 1, 0
             elif t - last_us > gap_us:
                 closed.append((user, start_us, last_us, n, mx, "gap"))
                 start_us, last_us, n, mx = t, t, 1, 0
+            elif t < start_us:
+                # cross-batch late row BEFORE the open session's start
+                if start_us - t > gap_us:
+                    closed.append((user, t, t, 1, 0, "late"))
+                else:
+                    mx = max(mx, start_us - t)
+                    start_us, n = t, n + 1
             else:
-                # late (t <= last_us) rows merge without a gap sample
+                # late (t <= last_us) in-session rows merge without a
+                # gap sample
                 mx = max(mx, t - last_us) if t > last_us else mx
                 last_us = max(last_us, t)
                 n += 1
         if start_us is not None:
             state.update((start_us, last_us, n, mx))
-            # never set a timeout at/behind the watermark (API contract)
+            # epoch ms, ceiling so the timeout can never fire before
+            # last + gap (an event at EXACTLY the gap must still merge);
+            # never at/behind the watermark (API contract)
             state.setTimeoutTimestamp(
                 max(
-                    last_us // 1_000 + gap_us // 1_000,
+                    (last_us + gap_us + 999) // 1_000,
                     state.getCurrentWatermarkMs() + 1,
                 )
             )

@@ -431,9 +431,13 @@ def main() -> None:
         if args.work_dir:
             import os as _os
 
-            from deezymatch_spark.pipeline import _write_text
+            from deezymatch_spark.pipeline import _write_text_atomic
 
-            _write_text(
+            # atomic rewrite: this flush runs on every record()/warn(),
+            # i.e. exactly inside the crash windows resume exists for —
+            # an in-place overwrite killed mid-write would leave
+            # truncated JSON that bricks every later resume
+            _write_text_atomic(
                 spark,
                 _os.path.join(args.work_dir, "driver_metrics.json"),
                 json.dumps(driver_metrics, sort_keys=True),
@@ -501,7 +505,21 @@ def main() -> None:
 
         side_path = _os.path.join(args.work_dir, "driver_metrics.json")
         if _marker_exists(spark, side_path):
-            loaded = json.loads(_read_text(spark, side_path))
+            try:
+                loaded = json.loads(_read_text(spark, side_path))
+            except Exception:
+                # a corrupt sidecar (truncated JSON from a pre-atomic
+                # writer, or a Hadoop ChecksumException when the .crc
+                # no longer matches a torn file) must degrade to "no
+                # replay", not brick the resume; re-running thunk
+                # stages re-records the values
+                print(
+                    "WARNING: driver_metrics.json is unreadable — "
+                    "driver-side metrics from the original run will be "
+                    "missing from this run's metrics line",
+                    file=_sys.stderr,
+                )
+                loaded = {}
             driver_metrics.update(loaded)
             for w in loaded.pop("_warnings", []):
                 # conditions like an empty benchmark stay true on resume

@@ -397,6 +397,21 @@ def test_resume_replays_driver_metrics(spark, tmp_path):
     assert res3.returncode != 0
     assert "different flags" in (res3.stderr + res3.stdout)
 
+    # a corrupt sidecar (kill mid-write on a pre-atomic version) must
+    # degrade to "no replay" with a warning, never brick the resume
+    side = os.path.join(wd, "driver_metrics.json")
+    with open(side, "w") as f:
+        f.write('{"mix_rates": {"a": 9090')  # truncated JSON
+    res4 = subprocess.run(cmd(["a=1", "b=1", "c=2"]), capture_output=True,
+                          text=True, timeout=600, cwd=str(tmp_path), env=env)
+    assert res4.returncode == 0, res4.stderr[-3000:]
+    assert "driver_metrics.json is unreadable" in (res4.stderr + res4.stdout)
+    metrics4 = json.loads(next(
+        l for l in res4.stdout.splitlines() if l.startswith('{"job"')
+    ))
+    assert "mix_rates" not in metrics4  # lost, not fabricated
+    assert metrics4["output_rows"] == metrics["output_rows"]
+
 
 def test_sequence_prep_flag_validation(tmp_path):
     """chunk and pack are mutually exclusive; pack needs --layout-output.

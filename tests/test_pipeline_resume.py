@@ -58,3 +58,43 @@ def test_stage_metrics_shape(spark):
     m = stage_metrics(df, "unit").collect()
     assert sum(r.rows for r in m) == 100
     assert all(r.stage == "unit" for r in m)
+
+
+def test_pre_partition_layout_metrics_dir_migrates(spark, tmp_path):
+    """A work dir whose metrics table was APPENDED flat by a pre-upgrade
+    version (stage as a data column, possibly duplicated) must migrate
+    on resume: the flat files go away (each stage rewrites its lineage
+    partition from its checkpoint) instead of colliding with the
+    stage=<name> partition layout."""
+    wd = str(tmp_path / "wd")
+    run_er_pipeline(spark, n_pages=300, work_dir=wd)
+    mdir = os.path.join(wd, "metrics")
+
+    # forge the legacy state: flatten today's partitioned rows into
+    # root-level part files (duplicated, like an old append-on-retry),
+    # drop the partition dirs and every per-stage fence marker
+    legacy = spark.read.parquet(mdir).select(
+        "stage", "partition_id", "rows", "ts"
+    )
+    legacy = legacy.unionAll(legacy)  # old duplicate rows
+    tmp_flat = str(tmp_path / "flat")
+    legacy.coalesce(1).write.parquet(tmp_flat)
+    shutil.rmtree(mdir)
+    shutil.move(tmp_flat, mdir)
+    shutil.rmtree(os.path.join(wd, "_metrics_done"))
+    assert any(f.startswith("part-") for f in os.listdir(mdir))
+
+    out2 = run_er_pipeline(spark, n_pages=300, work_dir=wd)
+    assert out2.count() == 300
+    # readable, partitioned, exactly one row set per stage (no dups)
+    m = spark.read.parquet(mdir)
+    assert set(r.stage for r in m.select("stage").distinct().collect()) == {
+        "s0_extract", "s2_scored", "s3_matches",
+        "s4_components", "s5_clusters",
+    }
+    dup = (
+        m.groupBy("stage", "partition_id").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert not any(f.startswith("part-") for f in os.listdir(mdir))

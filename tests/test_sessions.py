@@ -122,6 +122,18 @@ def test_sessionize_consistent_with_session_stats(spark):
     assert b.count() > ev.select("user_id").distinct().count()
 
 
+def test_null_timestamps_dropped_consistently(spark):
+    """session_window silently drops null-ts rows (its plan inserts
+    Filter isnotnull); sessionize must do the same or the operators
+    disagree on corpora with missing event times."""
+    rows = [(1, _ts(0)), (1, None), (1, _ts(10)), (2, None)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    a = sessionize(df, "user_id", "ts", gap_seconds=30)
+    assert a.count() == 2 and a.where("ts is null").count() == 0
+    b = session_stats(df, "user_id", "ts", gap_seconds=30)
+    assert [(r.user_id, r.n_events) for r in b.collect()] == [(1, 2)]
+
+
 def test_streaming_session_stats_matches_batch(spark, tmp_path):
     import glob
     import os
@@ -192,9 +204,10 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
 
 def test_streaming_user_sessions_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: gap-closed sessions emit
-    with the order-dependent max_gap_us statistic; the final open
-    session closes by event-time timeout once a later file advances
-    the watermark."""
+    with the order-dependent max_gap_us statistic; cross-batch late
+    rows either extend the open session's start backwards or emit as
+    their own 'late' session; the final open sessions close by
+    event-time timeout once a later file advances the watermark."""
     import shutil
 
     from deezymatch_spark.streaming import streaming_user_sessions
@@ -204,12 +217,15 @@ def test_streaming_user_sessions_stateful(spark, tmp_path):
         (1, _ts(200)),                                # splits (155s > 30s)
         (2, _ts(0)),
     ]
-    # two far-future flusher files: the first advances the watermark
-    # past every user-1/2 timeout, the second triggers the micro-batch
-    # in which those timeouts actually FIRE (watermark updates at batch
-    # boundaries, and availableNow is not guaranteed a trailing
-    # no-data batch)
-    rows2 = [(99, _ts(100_000))]
+    # batch 2 (inside the 1 h watermark, so not dropped as late):
+    # user 1 at 100s is >gap BEFORE its open session's 200s start ->
+    # immediate single-event 'late' session; user 2 at -5s is within
+    # the gap before its 0s start -> extends the session backwards
+    rows2 = [(1, _ts(100)), (2, _ts(-5)), (99, _ts(100_000))]
+    # far-future flusher: triggers the micro-batch whose watermark
+    # (200_000 - 3_600 s) is past every user-1/2 timeout, so they FIRE
+    # (watermark updates at batch boundaries, and availableNow is not
+    # guaranteed a trailing no-data batch)
     rows3 = [(99, _ts(200_000))]
     src = str(tmp_path / "ev_in")
     import glob
@@ -230,7 +246,7 @@ def test_streaming_user_sessions_stateful(spark, tmp_path):
         .parquet(src)
     )
     out = streaming_user_sessions(
-        stream, "user_id", "ts", gap_seconds=30, watermark="10 seconds"
+        stream, "user_id", "ts", gap_seconds=30, watermark="1 hour"
     )
     q = (
         out.writeStream.format("memory")
@@ -251,7 +267,11 @@ def test_streaming_user_sessions_stateful(spark, tmp_path):
     }
     # user 1 session A: closed in-batch by the 200s event
     assert got[(1, _ts(0))] == (_ts(45), 3, 25_000_000, "gap")
-    # user 1 session B + user 2: closed by event-time timeout after the
-    # flusher file advanced the watermark
+    # user 1's late 100s row: > gap before the open 200s session
+    assert got[(1, _ts(100))] == (_ts(100), 1, 0, "late")
+    # user 1 session B: closed by event-time timeout after the flusher
     assert got[(1, _ts(200))] == (_ts(200), 1, 0, "timeout")
-    assert got[(2, _ts(0))] == (_ts(0), 1, 0, "timeout")
+    # user 2: late -5s row extended the session backwards (gap sampled
+    # against the old start), then timeout-closed
+    assert got[(2, _ts(-5))] == (_ts(0), 2, 5_000_000, "timeout")
+    assert len(got) == 4
