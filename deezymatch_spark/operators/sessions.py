@@ -28,7 +28,7 @@ plan bug (the same key would break ANY per-user analysis).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["sessionize", "session_stats"]
 
