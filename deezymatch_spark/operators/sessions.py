@@ -61,9 +61,10 @@ def sessionize(
     no UDF, no collect.
     """
     gap = _gap_us(gap_seconds)
-    if "session_seq" in events.columns or "session_start" in events.columns:
+    clash = {"session_seq", "session_start", "_brk"} & set(events.columns)
+    if clash:
         raise ValueError(
-            "sessionize: input already has session_seq/session_start — "
+            f"sessionize: input already has column(s) {sorted(clash)} — "
             "silently overwriting them would destroy data; rename them"
         )
     # null-timestamp rows are dropped, matching session_window exactly
@@ -121,6 +122,11 @@ def session_stats(
     instead of re-deriving sessions from :func:`sessionize`'s output.
     """
     gap = _gap_us(gap_seconds)
+    if "_w" in events.columns:
+        raise ValueError(
+            "session_stats: input already has a '_w' column — the "
+            "session-window alias would collide with it; rename it"
+        )
     aggs = [
         F.count("*").cast("long").alias("n_events"),
         F.min(ts_col).alias("session_start"),

@@ -195,6 +195,11 @@ def streaming_user_sessions(
     from ..operators.sessions import _gap_us
 
     gap_us = _gap_us(gap_seconds)
+    if "_us" in events_stream.columns:
+        raise ValueError(
+            "streaming_user_sessions: input already has a '_us' column "
+            "— the epoch-micros helper would collide with it; rename it"
+        )
     s = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     s = s.withWatermark(ts_col, watermark)
     s = s.withColumn("_us", F.unix_micros(F.col(ts_col)))
