@@ -536,19 +536,87 @@ def q_text_signals(spark, sf):
 
 
 def q_jaro_winkler_pairs(spark, sf):
+    """Pair-scores composite (D4 + Fellegi-Sunter linkage,
+    operators/fs_linkage.py): per adjacent-doc pair the JW/Levenshtein
+    distances PLUS the FS comparison vector (3 fields: 20-char prefix,
+    first token, length bucket — all codegen expressions) and the
+    integer match weight under the seed m/u model (seed_fs_weights —
+    import-time EM constants, so the DuckDB oracle embeds identical
+    literals; the EM fit itself is pytest-verified in
+    test_fs_linkage.py). Scoring is a zero-shuffle literal-array
+    projection on top of the same self-join the JW columns ride."""
+    from deezymatch_spark.operators import comparison_vectors, fs_score, seed_fs_weights
+    from deezymatch_spark.operators.fs_linkage import abs_diff_level, lev_level
+
     d = _docs_norm(spark, sf).select(
-        "doc_id", F.substring("t", 1, 20).alias("p")
+        "doc_id",
+        F.substring("t", 1, 20).alias("p"),
+        F.split(F.col("t"), " ")[0].alias("w"),
+        F.expr("length(t) div 16").alias("lb"),
     )
     a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            F.round(jaro_winkler_udf(F.col("a.p"), F.col("b.p")), 6).alias("jw"),
-            F.levenshtein(F.col("a.p"), F.col("b.p")).cast("long").alias("lev"),
-        )
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    cv = comparison_vectors(
+        pairs,
+        {
+            "prefix": lev_level(F.col("a.p"), F.col("b.p"), fuzzy_max_lev=4),
+            "token": lev_level(F.col("a.w"), F.col("b.w"), fuzzy_max_lev=1),
+            "len": abs_diff_level(F.col("a.lb"), F.col("b.lb"), fuzzy_max_diff=1),
+        },
     )
+    return fs_score(cv, seed_fs_weights()).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        F.round(jaro_winkler_udf(F.col("a.p"), F.col("b.p")), 6).alias("jw"),
+        F.levenshtein(F.col("a.p"), F.col("b.p")).cast("long").alias("lev"),
+        F.col("gamma_prefix").cast("long").alias("gamma_prefix"),
+        F.col("gamma_token").cast("long").alias("gamma_token"),
+        F.col("gamma_len").cast("long").alias("gamma_len"),
+        "match_weight_micro",
+    )
+
+
+def _jw_fs_oracle_sql() -> str:
+    """DuckDB twin of q_jaro_winkler_pairs: same pair join, same level
+    CASEs, and the SAME seed weight literals (seed_fs_weights is pure
+    Python, derived identically at import on both sides)."""
+    from deezymatch_spark.operators import seed_fs_weights
+
+    w = seed_fs_weights()
+
+    def case(g, ws):
+        return (
+            f"case {g} when 0 then {ws[0]} when 1 then {ws[1]} "
+            f"else {ws[2]} end"
+        )
+
+    return f"""
+        with d as (select doc_id,
+                     substr(lower(trim(text)), 1, 20) as p,
+                     split_part(lower(trim(text)), ' ', 1) as w,
+                     length(lower(trim(text))) // 16 as lb
+                   from documents),
+        cv as (select a.doc_id as id1, b.doc_id as id2, a.p as pa, b.p as pb,
+                 case when a.p is null or b.p is null then 0
+                      when a.p = b.p then 2
+                      when levenshtein(a.p, b.p) <= 4 then 1 else 0 end as gamma_prefix,
+                 case when a.w is null or b.w is null then 0
+                      when a.w = b.w then 2
+                      when levenshtein(a.w, b.w) <= 1 then 1 else 0 end as gamma_token,
+                 case when a.lb is null or b.lb is null then 0
+                      when a.lb = b.lb then 2
+                      when abs(a.lb - b.lb) <= 1 then 1 else 0 end as gamma_len
+               from d a join d b on b.doc_id = a.doc_id + 1)
+        select id1, id2,
+          round(jaro_winkler_similarity(pa, pb), 6) as jw,
+          levenshtein(pa, pb) as lev,
+          cast(gamma_prefix as bigint) as gamma_prefix,
+          cast(gamma_token as bigint) as gamma_token,
+          cast(gamma_len as bigint) as gamma_len,
+          cast({case("gamma_prefix", w["prefix"])}
+             + {case("gamma_token", w["token"])}
+             + {case("gamma_len", w["len"])} as bigint) as match_weight_micro
+        from cv"""
 
 
 def q_doc_fingerprints(spark, sf):
@@ -966,11 +1034,20 @@ def q_substring_dedup(spark, sf):
 
 
 def q_bcubed_eval(spark, sf):
-    """B-cubed cluster evaluation (operators/metrics.py:bcubed): pred =
-    minhash near-dup components, truth = exact-text fingerprint groups,
-    over the mutated corpus. scaled=True → integer-exact micro outputs
-    (order-independent sums; see bcubed docstring)."""
-    from deezymatch_spark.operators import bcubed, connected_components, minhash_dup_pairs
+    """ER-evaluation composite: B-cubed cluster metrics
+    (operators/metrics.py:bcubed — pred = minhash near-dup components,
+    truth = exact-text fingerprint groups, scaled=True integer-exact)
+    PLUS blocking quality (metrics.py:blocking_quality — pair
+    completeness / pairs quality / reduction ratio of the LSH candidate
+    pairs against the planted gold relation: every original doc is the
+    true duplicate of its mutated twin at id+1e6). Both are 1-row
+    frames; the cross join widens, it does not multiply."""
+    from deezymatch_spark.operators import (
+        bcubed,
+        blocking_quality,
+        connected_components,
+        minhash_dup_pairs,
+    )
 
     both = _neardup_corpus(spark, sf)
     pairs = minhash_dup_pairs(
@@ -989,7 +1066,14 @@ def q_bcubed_eval(spark, sf):
             "truth",
         )
     )
-    return bcubed(assign, scaled=True)
+    gold = both.where(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("id1"),
+        (F.col("doc_id") + 1000000).alias("id2"),
+    )
+    bq = blocking_quality(
+        pairs.select("id1", "id2"), gold, n_records=both.count()
+    )
+    return bcubed(assign, scaled=True).crossJoin(bq)
 
 
 def q_incremental_clusters(spark, sf):
@@ -1685,12 +1769,7 @@ def oracle_sql() -> dict[str, str]:
                   + 0.4 * (case when sw between 0.05 and 0.6 then 1.0 else 0.0 end)
                   + 0.2 * (case when pr <= 0.2 then 1.0 else 0.0 end) as double), 2) as quality
             from m""",
-        "jaro_winkler_pairs": """
-            with d as (select doc_id, substr(lower(trim(text)), 1, 20) as p from documents)
-            select a.doc_id as id1, b.doc_id as id2,
-              round(jaro_winkler_similarity(a.p, b.p), 6) as jw,
-              levenshtein(a.p, b.p) as lev
-            from d a join d b on b.doc_id = a.doc_id + 1""",
+        "jaro_winkler_pairs": _jw_fs_oracle_sql(),
         "map_metric": """
             with s as (select label as grp, embedding[1]::double as score,
                          case when vec_id % 3 = 0 then 1 else 0 end as rel,
@@ -2063,12 +2142,37 @@ def oracle_sql() -> dict[str, str]:
                            sum(n_pt) as n_items from terms),
             m as (select sp / (greatest(n_items, 1) * 1e12) as p,
                          sr / (greatest(n_items, 1) * 1e12) as r,
-                         n_items from agg)
+                         n_items from agg),
+            gold as (select doc_id as id1, doc_id + 1000000 as id2
+                     from documents where doc_id < {NEARDUP_LIMIT}),
+            bq as (select (select count(*) from pairs) as n_cand,
+                          (select count(*) from gold) as n_gold,
+                          (select count(*) from pairs p
+                             join gold g on p.id1 = g.id1 and p.id2 = g.id2)
+                            as n_found,
+                          (select count(*) from src) as nrec),
+            bqm as (select cast(n_cand as bigint) as n_cand,
+                           cast(n_gold as bigint) as n_gold,
+                           cast(n_found as bigint) as n_found,
+                           cast(case when n_gold > 0
+                                then (n_found * 1000000) // n_gold
+                                else -1 end as bigint) as pair_completeness_micro,
+                           cast(case when n_cand > 0
+                                then (n_found * 1000000) // n_cand
+                                else -1 end as bigint) as pairs_quality_micro,
+                           cast(case when nrec >= 2
+                                then 1000000 - (n_cand * 1000000)
+                                               // (nrec * (nrec - 1) // 2)
+                                else -1 end as bigint) as reduction_ratio_micro
+                    from bq)
             select cast(round(p * 1e6, 0) as bigint) as precision_micro,
                    cast(round(r * 1e6, 0) as bigint) as recall_micro,
                    cast(round(2*p*r / greatest(p + r, 1e-12) * 1e6, 0) as bigint) as f1_micro,
-                   cast(n_items as bigint) as n_items
-            from m""",
+                   cast(n_items as bigint) as n_items,
+                   n_cand, n_gold, n_found,
+                   pair_completeness_micro, pairs_quality_micro,
+                   reduction_ratio_micro
+            from m, bqm""",
         "incremental_clusters": f"""
             with recursive {_neardup_ctes(1000000, "doc_id % 7 <> 5")},
             {closure_ctes}

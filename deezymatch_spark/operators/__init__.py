@@ -40,7 +40,21 @@ from .packing import (
     pack_sequences,
     shuffle_sequences,
 )
-from .metrics import bcubed, classification_metrics, mean_average_precision
+from .fs_linkage import (
+    comparison_vectors,
+    fs_fit,
+    fs_match_weights,
+    fs_pattern_counts,
+    fs_score,
+    seed_fs_params,
+    seed_fs_weights,
+)
+from .metrics import (
+    bcubed,
+    blocking_quality,
+    classification_metrics,
+    mean_average_precision,
+)
 from .ranker import candidate_ranker, validate_ranker_args
 from .sessions import session_stats, sessionize
 from .sampling import (
@@ -73,7 +87,9 @@ __all__ = [
     "chunk_documents", "materialize_sequences", "pack_sequences",
     "shuffle_sequences",
     "fit_quality_lr", "score_quality_lr", "seed_quality_weights",
-    "bcubed", "classification_metrics", "mean_average_precision",
+    "bcubed", "blocking_quality", "classification_metrics", "mean_average_precision",
+    "comparison_vectors", "fs_fit", "fs_match_weights", "fs_pattern_counts",
+    "fs_score", "seed_fs_params", "seed_fs_weights",
     "candidate_ranker", "validate_ranker_args",
     "train_val_test_split",
 ]

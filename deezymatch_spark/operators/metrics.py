@@ -26,6 +26,7 @@ __all__ = [
     "mean_average_precision",
     "classification_metrics",
     "bcubed",
+    "blocking_quality",
 ]
 
 
@@ -258,4 +259,82 @@ def bcubed(
         rec.alias("recall"),
         (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))).alias("f1"),
         "n_items",
+    )
+
+
+def blocking_quality(
+    cand_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    n_records: int,
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Blocking/indexing evaluation (the standard trio of every blocking
+    survey, e.g. Christen 2012 "A Survey of Indexing Techniques for
+    Scalable Record Linkage"): given the candidate pairs a blocking
+    scheme emitted and the gold duplicate pairs, a 1-row frame
+
+    - ``pair_completeness_micro`` = found/gold  (blocking recall)
+    - ``pairs_quality_micro``     = found/cand  (blocking precision)
+    - ``reduction_ratio_micro``   = 1 - cand / (n_records choose 2)
+
+    each as exact integers ``(num * 10^6) div den`` (micro units,
+    order-independent — same discipline as ``bcubed(scaled=True)``),
+    plus the raw counts. Zero-gold / zero-cand cells report ``-1``
+    (an integer sentinel, NOT NULL — NULL-in-bigint collapses to
+    float64 on a pandas fetch and hash-diverges engines).
+
+    Shape at scale: both inputs are normalized (unordered -> id1<id2,
+    distinct) and full-outer-joined on the pair key — ONE shuffle over
+    the pair sets, which are orders of magnitude smaller than the
+    corpus; the corpus itself never moves (``n_records`` is a number
+    the caller already has).
+    """
+    if n_records < 0:
+        raise ValueError("blocking_quality: n_records must be >= 0")
+
+    def _norm(df: DataFrame, flag: str) -> DataFrame:
+        a, b = F.col(id1), F.col(id2)
+        return (
+            df.where(a != b)
+            .select(
+                F.least(a, b).alias("_p1"), F.greatest(a, b).alias("_p2")
+            )
+            .distinct()
+            .withColumn(flag, F.lit(1).cast("long"))
+        )
+
+    c = _norm(cand_pairs, "_c")
+    g = _norm(gold_pairs, "_g")
+    j = c.join(g, ["_p1", "_p2"], "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum("_g"), F.lit(0)).cast("long").alias("n_gold"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_g")), F.lit(0))
+        .cast("long")
+        .alias("n_found"),
+    )
+    total = n_records * (n_records - 1) // 2
+    # `div` = exact bigint division (floor-toward-zero on non-negatives)
+    # — float `/` + floor would lose bits past 2^53 on billion-pair runs
+    pc = F.when(
+        F.col("n_gold") > 0, F.expr("(n_found * 1000000L) div n_gold")
+    )
+    pq = F.when(
+        F.col("n_cand") > 0, F.expr("(n_found * 1000000L) div n_cand")
+    )
+    rr = (
+        F.lit(None).cast("long")
+        if total == 0
+        else F.lit(1_000_000).cast("long")
+        - F.expr(f"(n_cand * 1000000L) div {total}L")
+    )
+    return agg.select(
+        "n_cand",
+        "n_gold",
+        "n_found",
+        F.coalesce(pc, F.lit(-1)).cast("long").alias("pair_completeness_micro"),
+        F.coalesce(pq, F.lit(-1)).cast("long").alias("pairs_quality_micro"),
+        F.coalesce(rr, F.lit(-1)).cast("long").alias("reduction_ratio_micro"),
     )
