@@ -865,16 +865,58 @@ def q_near_dedup_docs(spark, sf):
 
 
 def q_dedup_keep_best(spark, sf):
-    """Quality-keep near-dedup (operators/dedup.py:dedup_keep_best):
-    same LSH pairs + closure as near_dedup_docs, but each duplicate
-    cluster keeps its best member by (length(text) DESC, id ASC) — the
-    mutated twin carries a suffix so it outranks its original."""
-    from deezymatch_spark.operators import dedup_keep_best
+    """Keep-best + survivorship composite: the same LSH pairs + closure
+    as near_dedup_docs, then ONE golden record per duplicate cluster
+    (operators/survivorship.py:golden_records — single map-combined
+    aggregation, every rule a built-in JVM aggregate):
 
-    return dedup_keep_best(
-        _neardup_corpus(spark, sf), "doc_id", "text", F.length("text"),
+    - keep_id      argmax by (length(text) DESC, id ASC) — identical to
+                   dedup_keep_best's keep rule (set-equality is
+                   pytest-locked in test_survivorship.py)
+    - canon_source / canon_lang   deterministic mode (ties → lowest);
+      the mutated twin's source is prefixed 'mut:' so 2-member clusters
+      genuinely exercise the tie-break
+    - max_chars / total_chars     plain aggregates
+    """
+    from deezymatch_spark.operators import (
+        assign_clusters,
+        connected_components,
+        golden_records,
+        minhash_dup_pairs,
+    )
+
+    both = _neardup_corpus(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    rec = both.join(
+        d, F.pmod(both.doc_id, F.lit(1000000)) == d.doc_id
+    ).select(
+        both.doc_id,
+        "text",
+        "lang",
+        F.when(
+            both.doc_id >= 1000000, F.concat(F.lit("mut:"), d.source)
+        ).otherwise(d.source).alias("source"),
+    )
+    pairs = minhash_dup_pairs(
+        both, "doc_id", "text",
         gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
-    ).select("doc_id")
+    )
+    comp = connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    asn = assign_clusters(rec, comp, id_col="doc_id")
+    return golden_records(
+        asn,
+        {
+            "keep_id": (
+                "argmax", "doc_id", F.length("text"), -F.col("doc_id")
+            ),
+            "canon_source": ("mode", "source"),
+            "canon_lang": ("mode", "lang"),
+            "max_chars": ("max", F.length("text").cast("long")),
+            "total_chars": ("sum", F.length("text").cast("long")),
+        },
+    )
 
 
 def q_lm_perplexity(spark, sf):
@@ -1940,15 +1982,39 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": f"""
             with recursive {neardup_ctes},
             {closure_ctes},
-            dupd as (select src.doc_id, length(src.text) as q, comp.component
-                     from src join comp on comp.node = src.doc_id),
-            r as (select doc_id, row_number() over
-                    (partition by component order by q desc, doc_id asc) as rn
-                  from dupd),
-            keep as (select doc_id from r where rn = 1)
-            select doc_id from src where doc_id not in (select doc_id from dupd)
-            union all
-            select doc_id from keep""",
+            rec as (select s.doc_id, s.text, d.lang,
+                      case when s.doc_id >= 1000000 then 'mut:' || d.source
+                           else d.source end as source
+                    from src s
+                    join documents d on d.doc_id = s.doc_id % 1000000),
+            asn as (select r.*, coalesce(c.component, r.doc_id) as cluster_id
+                    from rec r left join comp c on c.node = r.doc_id),
+            keep as (select cluster_id, doc_id as keep_id from (
+                       select cluster_id, doc_id, row_number() over
+                         (partition by cluster_id
+                          order by length(text) desc, doc_id asc) as rn
+                       from asn) where rn = 1),
+            msrc as (select cluster_id, source as canon_source from (
+                       select cluster_id, source, row_number() over
+                         (partition by cluster_id
+                          order by count(*) desc, source asc) as rn
+                       from asn group by cluster_id, source) where rn = 1),
+            mlang as (select cluster_id, lang as canon_lang from (
+                        select cluster_id, lang, row_number() over
+                          (partition by cluster_id
+                           order by count(*) desc, lang asc) as rn
+                        from asn group by cluster_id, lang) where rn = 1),
+            agg as (select cluster_id,
+                      cast(count(*) as bigint) as n_members,
+                      cast(max(length(text)) as bigint) as max_chars,
+                      cast(sum(length(text)) as bigint) as total_chars
+                    from asn group by cluster_id)
+            select a.cluster_id, a.n_members, k.keep_id,
+                   s.canon_source, l.canon_lang, a.max_chars, a.total_chars
+            from agg a
+            join keep k using (cluster_id)
+            join msrc s using (cluster_id)
+            join mlang l using (cluster_id)""",
         "substring_dup_spans": f"""
             with src as (
               select doc_id, text from documents where doc_id < {NEARDUP_LIMIT}

@@ -57,6 +57,7 @@ from .metrics import (
 )
 from .ranker import candidate_ranker, validate_ranker_args
 from .sessions import session_stats, sessionize
+from .survivorship import assign_clusters, golden_records
 from .sampling import (
     apply_token_mix,
     hash_sample,
@@ -91,5 +92,6 @@ __all__ = [
     "comparison_vectors", "fs_fit", "fs_match_weights", "fs_pattern_counts",
     "fs_score", "seed_fs_params", "seed_fs_weights",
     "candidate_ranker", "validate_ranker_args",
+    "assign_clusters", "golden_records",
     "train_val_test_split",
 ]
