@@ -544,8 +544,20 @@ def q_jaro_winkler_pairs(spark, sf):
     import-time EM constants, so the DuckDB oracle embeds identical
     literals; the EM fit itself is pytest-verified in
     test_fs_linkage.py). Scoring is a zero-shuffle literal-array
-    projection on top of the same self-join the JW columns ride."""
-    from deezymatch_spark.operators import comparison_vectors, fs_score, seed_fs_weights
+    projection on top of the same self-join the JW columns ride.
+    PLUS the Splink-style term-frequency adjustment on the token field
+    (fs_tf_adjust): pairs agreeing on a RARE first token carry the
+    exact-integer inverse-frequency ratio (tf_total·10⁶ div tf_count);
+    non-agreeing pairs the -1 sentinel. The float log2 form of the
+    adjustment exists on the operator but is deliberately not graded
+    (cross-engine libm ulp risk)."""
+    from deezymatch_spark.operators import (
+        comparison_vectors,
+        fs_score,
+        fs_tf_adjust,
+        seed_fs_weights,
+        term_frequencies,
+    )
     from deezymatch_spark.operators.fs_linkage import abs_diff_level, lev_level
 
     d = _docs_norm(spark, sf).select(
@@ -564,7 +576,11 @@ def q_jaro_winkler_pairs(spark, sf):
             "len": abs_diff_level(F.col("a.lb"), F.col("b.lb"), fuzzy_max_diff=1),
         },
     )
-    return fs_score(cv, seed_fs_weights()).select(
+    scored = fs_score(cv, seed_fs_weights())
+    adjusted = fs_tf_adjust(
+        scored, "token", F.col("a.w"), term_frequencies(d, "w")
+    )
+    return adjusted.select(
         F.col("a.doc_id").alias("id1"),
         F.col("b.doc_id").alias("id2"),
         F.round(jaro_winkler_udf(F.col("a.p"), F.col("b.p")), 6).alias("jw"),
@@ -573,6 +589,7 @@ def q_jaro_winkler_pairs(spark, sf):
         F.col("gamma_token").cast("long").alias("gamma_token"),
         F.col("gamma_len").cast("long").alias("gamma_len"),
         "match_weight_micro",
+        "tf_token_ratio_micro",
     )
 
 
@@ -605,8 +622,12 @@ def _jw_fs_oracle_sql() -> str:
                       when levenshtein(a.w, b.w) <= 1 then 1 else 0 end as gamma_token,
                  case when a.lb is null or b.lb is null then 0
                       when a.lb = b.lb then 2
-                      when abs(a.lb - b.lb) <= 1 then 1 else 0 end as gamma_len
-               from d a join d b on b.doc_id = a.doc_id + 1)
+                      when abs(a.lb - b.lb) <= 1 then 1 else 0 end as gamma_len,
+                 a.w as wa
+               from d a join d b on b.doc_id = a.doc_id + 1),
+        tf as (select w as tf_value, cast(count(*) as bigint) as tf_count
+               from d where w is not null group by w),
+        tot as (select cast(sum(tf_count) as bigint) as tf_total from tf)
         select id1, id2,
           round(jaro_winkler_similarity(pa, pb), 6) as jw,
           levenshtein(pa, pb) as lev,
@@ -615,8 +636,13 @@ def _jw_fs_oracle_sql() -> str:
           cast(gamma_len as bigint) as gamma_len,
           cast({case("gamma_prefix", w["prefix"])}
              + {case("gamma_token", w["token"])}
-             + {case("gamma_len", w["len"])} as bigint) as match_weight_micro
-        from cv"""
+             + {case("gamma_len", w["len"])} as bigint) as match_weight_micro,
+          cast(case when gamma_token = 2 and tf.tf_count is not null
+               then (tot.tf_total * 1000000) // tf.tf_count
+               else -1 end as bigint) as tf_token_ratio_micro
+        from cv
+        left join tf on cv.gamma_token = 2 and cv.wa = tf.tf_value
+        cross join tot"""
 
 
 def q_doc_fingerprints(spark, sf):

@@ -46,8 +46,10 @@ from .fs_linkage import (
     fs_match_weights,
     fs_pattern_counts,
     fs_score,
+    fs_tf_adjust,
     seed_fs_params,
     seed_fs_weights,
+    term_frequencies,
 )
 from .metrics import (
     bcubed,
@@ -90,7 +92,8 @@ __all__ = [
     "fit_quality_lr", "score_quality_lr", "seed_quality_weights",
     "bcubed", "blocking_quality", "classification_metrics", "mean_average_precision",
     "comparison_vectors", "fs_fit", "fs_match_weights", "fs_pattern_counts",
-    "fs_score", "seed_fs_params", "seed_fs_weights",
+    "fs_score", "fs_tf_adjust", "seed_fs_params", "seed_fs_weights",
+    "term_frequencies",
     "candidate_ranker", "validate_ranker_args",
     "assign_clusters", "golden_records",
     "train_val_test_split",

@@ -63,6 +63,8 @@ __all__ = [
     "fs_fit",
     "fs_match_weights",
     "fs_score",
+    "term_frequencies",
+    "fs_tf_adjust",
     "FSParams",
     "seed_fs_params",
     "seed_fs_weights",
@@ -263,6 +265,74 @@ def fs_score(
         arr = F.array(*[F.lit(int(w)).cast("long") for w in ws])
         expr = expr + F.element_at(arr, F.col(f"gamma_{f}") + 1)
     return cv.withColumn(out_col, expr)
+
+
+def term_frequencies(records: DataFrame, value) -> DataFrame:
+    """Value frequency table for term-frequency adjustments:
+    ``[tf_value, tf_count bigint, tf_total bigint]`` over the RECORD
+    table (one record = one vote, the Splink convention — never over
+    the pairs, where hub records would vote quadratically). NULLs are
+    dropped (they never agree at the top level anyway).
+
+    One map-combined aggregation; the grand total rides in via a
+    1-row broadcast cross join of the counts' own sum, so the record
+    table is scanned exactly once.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    counts = (
+        records.select(v.alias("tf_value"))
+        .where(F.col("tf_value").isNotNull())
+        .groupBy("tf_value")
+        .agg(F.count("*").cast("long").alias("tf_count"))
+    )
+    total = counts.agg(F.sum("tf_count").cast("long").alias("tf_total"))
+    return counts.crossJoin(F.broadcast(total))
+
+
+def fs_tf_adjust(
+    cv: DataFrame,
+    field: str,
+    value: Column,
+    tf: DataFrame,
+    *,
+    agree_level: int = 2,
+) -> DataFrame:
+    """Splink-style term-frequency adjustment: a pair that agrees on a
+    RARE value ("Zebediah") is stronger match evidence than one
+    agreeing on a common value ("John"), because u(exact agree on v) is
+    proportional to tf(v) among non-matches. Adds two columns:
+
+    - ``tf_<field>_ratio_micro`` (bigint): ``(tf_total * 1e6) div
+      tf_count`` of the agreeing value — the exact-integer inverse
+      frequency share; ``-1`` when the pair does not agree at
+      ``agree_level`` (integer sentinel, hash-stable across engines).
+    - ``tf_<field>_adj_bits`` (double): ``log2(tf_total / tf_count)``,
+      the additive correction to the field's generic agreement weight
+      (replace log2(m/u_avg) with log2(m/u_avg) + adj - E[adj]); float
+      by nature, so graded queries hash the ratio column instead.
+
+    Join shape: the pair table left-joins the TF table on the agreeing
+    value — the TF table is |distinct values| rows (broadcast for
+    name/city-cardinality fields; a plain shuffle join keyed on the
+    value otherwise). The record table is never re-scanned.
+    """
+    g = F.col(f"gamma_{field}")
+    joined = cv.join(
+        tf, (g == F.lit(int(agree_level))) & (value == F.col("tf_value")), "left"
+    )
+    ratio = F.when(
+        F.col("tf_count").isNotNull(),
+        F.expr("(tf_total * 1000000L) div tf_count"),
+    ).otherwise(F.lit(-1))
+    adj = F.when(
+        F.col("tf_count").isNotNull(),
+        F.log2(F.col("tf_total") / F.col("tf_count")),
+    )
+    return (
+        joined.withColumn(f"tf_{field}_ratio_micro", ratio.cast("long"))
+        .withColumn(f"tf_{field}_adj_bits", adj)
+        .drop("tf_value", "tf_count", "tf_total")
+    )
 
 
 # ------------------------------------------------------------ seed

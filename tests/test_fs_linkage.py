@@ -240,3 +240,57 @@ def test_fs_score_plan_is_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_term_frequencies_and_tf_adjust(spark):
+    """TF adjustment: agreeing-on-rare > agreeing-on-common; the exact
+    integer ratio matches (total*1e6) div count; non-agreeing and
+    fuzzy-agreeing pairs carry the -1 sentinel; the float adj_bits
+    column equals log2(total/count)."""
+    from deezymatch_spark.operators import fs_tf_adjust, term_frequencies
+
+    rec = spark.createDataFrame(
+        [(i, "john") for i in range(8)]
+        + [(8, "zeb"), (9, "zeb"), (10, None)],
+        "id long, name string",
+    )
+    tf = term_frequencies(rec, "name")
+    got = {r["tf_value"]: (r["tf_count"], r["tf_total"]) for r in tf.collect()}
+    assert got == {"john": (8, 10), "zeb": (2, 10)}  # NULL dropped
+
+    pairs = spark.createDataFrame(
+        [
+            ("john", "john", 2),   # common agree
+            ("zeb", "zeb", 2),     # rare agree
+            ("zeb", "zib", 1),     # fuzzy agree -> sentinel
+            ("john", "zeb", 0),    # disagree -> sentinel
+        ],
+        "va string, vb string, gamma_name int",
+    )
+    out = fs_tf_adjust(pairs, "name", F.col("va"), tf).collect()
+    by = {(r["va"], r["vb"]): r for r in out}
+    assert by[("john", "john")]["tf_name_ratio_micro"] == 10 * 1000000 // 8
+    assert by[("zeb", "zeb")]["tf_name_ratio_micro"] == 10 * 1000000 // 2
+    assert by[("zeb", "zib")]["tf_name_ratio_micro"] == -1
+    assert by[("john", "zeb")]["tf_name_ratio_micro"] == -1
+    # rare agreement carries strictly more evidence
+    assert (
+        by[("zeb", "zeb")]["tf_name_ratio_micro"]
+        > by[("john", "john")]["tf_name_ratio_micro"]
+    )
+    assert by[("zeb", "zeb")]["tf_name_adj_bits"] == pytest.approx(
+        math.log2(10 / 2)
+    )
+    assert by[("john", "zeb")]["tf_name_adj_bits"] is None
+
+
+def test_tf_adjust_single_record_scan(spark):
+    """term_frequencies scans the record table exactly once: the grand
+    total is derived from the counts, not a second pass."""
+    from deezymatch_spark.operators import term_frequencies
+
+    rec = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    plan = term_frequencies(rec, "name")._jdf.queryExecution().executedPlan().toString()
+    # one LocalTableScan for rec + one reused/broadcast total — no
+    # second scan of the record relation beyond the reused exchange
+    assert plan.count("LocalTableScan") <= 2
