@@ -63,6 +63,9 @@ __all__ = [
     "fs_fit",
     "fs_match_weights",
     "fs_score",
+    "collect_pattern_counts",
+    "u_probs_from_counts",
+    "random_pairs",
     "term_frequencies",
     "fs_tf_adjust",
     "FSParams",
@@ -147,6 +150,7 @@ def py_fs_em(
     *,
     iters: int = 60,
     init_lam: float = 0.1,
+    fixed_u: dict[str, list[float]] | None = None,
 ) -> FSParams:
     """EM over an explicit pattern contingency ``{(l_1..l_k): count}``.
     Pure Python, deterministic: patterns are processed in sorted order
@@ -157,6 +161,15 @@ def py_fs_em(
     splits the rest evenly; u is uniform. The standard FS/Splink
     initialization — strong enough to break the match/non-match
     symmetry, weak enough not to bias the fixed point.
+
+    ``fixed_u``: hold the non-match distributions at these values and
+    learn only m and lambda (Splink's ``estimate_u_using_random_
+    sampling`` + EM recipe). ESSENTIAL when the candidate pairs come
+    from blocking + a distance gate: such pairs are nearly all
+    matches, and the free two-class EM then splits exact-vs-fuzzy
+    matches instead of match-vs-nonmatch (observed: pipeline recall
+    0.17 with free u, 1.0 with random-pair u). Estimate it with
+    :func:`u_probs_from_counts` over :func:`random_pairs`.
     """
     if not counts:
         raise ValueError("py_fs_em: empty contingency")
@@ -171,7 +184,18 @@ def py_fs_em(
         [0.3 / (nl - 1)] * (nl - 1) + [0.7] if nl > 1 else [1.0]
         for nl in n_levels
     ]
-    u = [[1.0 / nl] * nl for nl in n_levels]
+    if fixed_u is not None:
+        missing = [f for f in field_names if f not in fixed_u]
+        if missing:
+            raise ValueError(f"py_fs_em: fixed_u missing fields {missing}")
+        u = [
+            [max(float(x), _P_FLOOR) for x in fixed_u[f]]
+            for f in field_names
+        ]
+        if any(len(ui) != nl for ui, nl in zip(u, n_levels)):
+            raise ValueError("py_fs_em: fixed_u level arity != n_levels")
+    else:
+        u = [[1.0 / nl] * nl for nl in n_levels]
     for _ in range(iters):
         # E-step: responsibility of the match class per pattern
         ws = []
@@ -187,12 +211,14 @@ def py_fs_em(
         lam = wm / total
         for i, nl in enumerate(n_levels):
             ml = [0.0] * nl
-            ul = [0.0] * nl
             for p, w, n in zip(pats, ws, ns):
                 ml[p[i]] += w * n
-                ul[p[i]] += (1.0 - w) * n
             m[i] = [x / wm if wm > 0 else 1.0 / nl for x in ml]
-            u[i] = [x / wu if wu > 0 else 1.0 / nl for x in ul]
+            if fixed_u is None:
+                ul = [0.0] * nl
+                for p, w, n in zip(pats, ws, ns):
+                    ul[p[i]] += (1.0 - w) * n
+                u[i] = [x / wu if wu > 0 else 1.0 / nl for x in ul]
     return FSParams(
         lam=lam,
         m={f: m[i] for i, f in enumerate(field_names)},
@@ -207,11 +233,15 @@ def fs_fit(
     *,
     iters: int = 60,
     init_lam: float = 0.1,
+    fixed_u: dict[str, list[float]] | None = None,
 ) -> FSParams:
     """Fit m/u/lambda from comparison vectors: one aggregation to the
     bounded contingency (:func:`fs_pattern_counts`), then driver-side
     EM (:func:`py_fs_em`). The collect is bounded by prod(n_levels)
-    rows — 81 for four 3-level fields — never by the pair count."""
+    rows — 81 for four 3-level fields — never by the pair count.
+    Pass ``fixed_u`` (from :func:`u_probs_from_counts` over
+    :func:`random_pairs`) when ``cv`` comes from blocked/gated pairs —
+    see the :func:`py_fs_em` warning on degenerate free-u EM."""
     bound = math.prod(n_levels)
     if bound > 100_000:
         raise ValueError(
@@ -219,16 +249,89 @@ def fs_fit(
             "that many cells means EM has too little signal per cell anyway; "
             "coarsen the levels"
         )
+    counts = collect_pattern_counts(cv, field_names, n_levels)
+    return py_fs_em(
+        counts, field_names, n_levels, iters=iters, init_lam=init_lam,
+        fixed_u=fixed_u,
+    )
+
+
+def collect_pattern_counts(
+    cv: DataFrame, field_names: list[str], n_levels: list[int]
+) -> dict[tuple[int, ...], int]:
+    """Materialize the bounded gamma contingency as a Python dict."""
     rows = fs_pattern_counts(cv, field_names).collect()
     counts: dict[tuple[int, ...], int] = {}
     for r in rows:
         pat = tuple(int(r[f"gamma_{f}"]) for f in field_names)
         if any(l < 0 or l >= nl for l, nl in zip(pat, n_levels)):
-            raise ValueError(f"fs_fit: pattern {pat} outside n_levels {n_levels}")
+            raise ValueError(
+                f"pattern {pat} outside n_levels {n_levels}"
+            )
         counts[pat] = int(r["n"])
-    return py_fs_em(
-        counts, field_names, n_levels, iters=iters, init_lam=init_lam
+    return counts
+
+
+def u_probs_from_counts(
+    counts: dict[tuple[int, ...], int],
+    field_names: list[str],
+    n_levels: list[int],
+) -> dict[str, list[float]]:
+    """Per-field level marginals of a pattern contingency — the u
+    estimate when the contingency comes from :func:`random_pairs`
+    (random pairs are non-matches w.p. ~1, Splink's
+    ``estimate_u_using_random_sampling``). Zero-count levels floor at
+    ``_P_FLOOR`` so downstream weights stay finite."""
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("u_probs_from_counts: empty contingency")
+    out: dict[str, list[float]] = {}
+    for i, (f, nl) in enumerate(zip(field_names, n_levels)):
+        marg = [0] * nl
+        for p, n in counts.items():
+            marg[p[i]] += n
+        out[f] = [max(x / total, _P_FLOOR) for x in marg]
+    return out
+
+
+def random_pairs(
+    records: DataFrame,
+    id_col: str,
+    payloads: list[str],
+    *,
+    salt: str = "fs-u",
+    bucket_rows: int = 1000,
+) -> DataFrame:
+    """Deterministic pseudo-random record pairs for u-estimation:
+    ``[id1, id2, <payload>_1, <payload>_2 ...]``, ~|records|-1 pairs,
+    each record in at most 2.
+
+    Shape at scale: records are hash-ordered (``xxhash64(id, salt)`` —
+    independent of every attribute, so adjacency is as-if random),
+    split into ~``bucket_rows``-row buckets BY HASH RANGE, and each row
+    pairs with the next row of its bucket. ONE Exchange on the bucket
+    id + a per-bucket local sort — no global sort, no skew (bucket
+    occupancy is multinomial). Downsample the input first
+    (``hash_sample``) when only a bounded u-sample is needed.
+    """
+    from pyspark.sql import Window
+
+    n = records.count()
+    if n < 2:
+        raise ValueError("random_pairs: need at least 2 records")
+    n_buckets = max(1, n // max(bucket_rows, 2))
+    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+    base = records.select(
+        F.col(id_col), *[F.col(p) for p in payloads], h.alias("_h")
+    ).withColumn("_b", F.pmod(F.col("_h"), F.lit(n_buckets)))
+    w = Window.partitionBy("_b").orderBy("_h", id_col)
+    nxt = base.select(
+        F.col(id_col).alias("id1"),
+        F.lead(id_col).over(w).alias("id2"),
+        *[F.col(p).alias(f"{p}_1") for p in payloads],
+        *[F.lead(p).over(w).alias(f"{p}_2") for p in payloads],
     )
+    return nxt.where(F.col("id2").isNotNull())
 
 
 def fs_match_weights(params: FSParams) -> dict[str, list[int]]:

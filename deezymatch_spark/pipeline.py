@@ -214,6 +214,10 @@ def er_stages(
     conf_threshold: float = 0.5,
     use_minhash: bool = False,
     use_anchors: bool = False,
+    scorer: str = "jw",
+    fs_threshold_bits: float = 2.0,
+    fs_fit_fraction: float = 1.0,
+    fs_iters: int = 30,
     spark: SparkSession | None = None,
     work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
@@ -242,7 +246,25 @@ def er_stages(
     zero common keys) but that are co-cited with the same anchor
     string. ~2 extra key rows/page; OFF by default for the synthetic
     benchmark whose titles make gram recall 0.9998+ already.
+
+    ``scorer``: ``"jw"`` (default) thresholds on the Jaro-Winkler
+    Arrow UDF; ``"fs"`` swaps in the Fellegi-Sunter model
+    (operators/fs_linkage.py): comparison vectors over the pair titles
+    (full-title / first-token / length levels — all codegen), m/u fit
+    UNSUPERVISED by EM over one map-combined 27-cell contingency
+    (``fs_fit_fraction`` < 1 fits on a deterministic ``hash_sample`` of
+    the pairs — at 10^12 docs you fit on a slice, score everything),
+    match filter at ``fs_threshold_bits`` total log2(m/u) evidence.
+    The fs path is **UDF-free end to end** — S2+S3 stay inside
+    whole-stage codegen; it also triggers one extra pass over the
+    candidate pairs at build time (the fit aggregation). The scorer
+    choice is part of the work-dir identity: resuming a ``jw`` work
+    dir with ``scorer="fs"`` mixes stage schemas — use a fresh dir.
     """
+    if scorer not in ("jw", "fs"):
+        raise ValueError(f"er_stages: scorer must be 'jw' or 'fs', got {scorer!r}")
+    if not 0.0 < fs_fit_fraction <= 1.0:
+        raise ValueError("er_stages: fs_fit_fraction must be in (0, 1]")
     spark = spark or pages.sparkSession
 
     # S0 — extract + normalize. html is pruned immediately after the
@@ -294,7 +316,38 @@ def er_stages(
         lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
         use_minhash=use_minhash, extra_keys=anchor_keys,
     )
-    scored = scored_raw.withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
+    if scorer == "fs":
+        from .operators.fs_linkage import (
+            collect_pattern_counts,
+            comparison_vectors,
+            fs_fit,
+            fs_match_weights,
+            fs_score,
+            random_pairs,
+            u_probs_from_counts,
+            abs_diff_level,
+            lev_level,
+        )
+        from .operators.sampling import hash_sample
+
+        fields = {
+            "title": lev_level(
+                F.col("t1"), F.col("t2"), fuzzy_max_lev=max(1, lev_max)
+            ),
+            "token": lev_level(
+                F.split(F.col("t1"), " ")[0],
+                F.split(F.col("t2"), " ")[0],
+                fuzzy_max_lev=1,
+            ),
+            "len": abs_diff_level(
+                F.length("t1"), F.length("t2"), fuzzy_max_diff=1
+            ),
+        }
+        scored = comparison_vectors(scored_raw, fields)
+    else:
+        scored = scored_raw.withColumn(
+            "jw", jaro_winkler_udf(F.col("t1"), F.col("t2"))
+        )
     if pair_scorer is not None:
         scored = scored.withColumn("p1", pair_scorer(F.col("t1"), F.col("t2")))
     # drop the pair strings before the stage sink: downstream needs only
@@ -307,6 +360,39 @@ def er_stages(
         # cache now so eval loops calling er_stages repeatedly don't
         # accumulate dead RDD storage
         release_persisted(scored_raw)
+    if scorer == "fs":
+        # Splink's two-step estimation, because blocked+lev-gated pairs
+        # are nearly all matches and a free two-class EM over them
+        # degenerates into splitting exact-vs-fuzzy matches (measured:
+        # pipeline recall 0.17 free vs 1.0 fixed-u):
+        # (1) u from deterministic RANDOM pairs of the corpus — random
+        #     pairs are non-matches w.p. ~1, so the gamma marginals
+        #     are the non-match distributions;
+        # (2) EM on the blocked-pair contingency with u held fixed
+        #     learns only m and lambda.
+        # Both contingencies are map-combined 27-cell aggregates; in
+        # work_dir mode the blocked one reads the checkpointed parquet
+        # instead of re-running the pair join. The fitted weights fold
+        # into the plan as literals — scoring is a pure projection.
+        u_src = docs.select("id", F.col("title_norm").alias("t1"))
+        rp = random_pairs(u_src, "id", ["t1"]).select(
+            F.col("t1_1").alias("t1"), F.col("t1_2").alias("t2")
+        )
+        cv_u = comparison_vectors(rp, fields)
+        u_probs = u_probs_from_counts(
+            collect_pattern_counts(cv_u, list(fields), [3, 3, 3]),
+            list(fields),
+            [3, 3, 3],
+        )
+        fit_cv = (
+            scored
+            if fs_fit_fraction >= 1.0
+            else hash_sample(scored, "id1", fs_fit_fraction, salt="fsfit")
+        )
+        params = fs_fit(
+            fit_cv, list(fields), [3, 3, 3], iters=fs_iters, fixed_u=u_probs
+        )
+        scored = fs_score(scored, fs_match_weights(params))
 
     # unfused blocked-pair universe, built lazily for eval/inspection
     # (er_f1_eval scores F1 over ALL blocked pairs, pre-lev-gate);
@@ -317,11 +403,21 @@ def er_stages(
     )
 
     # S3 — match filter
-    matches = scored.where(F.col("jw") >= jw_threshold)
+    if scorer == "fs":
+        matches = scored.where(
+            F.col("match_weight_micro")
+            >= F.lit(int(round(fs_threshold_bits * 1e6)))
+        )
+        score_col = (F.col("match_weight_micro") / F.lit(1e6)).alias(
+            "weight_bits"
+        )
+    else:
+        matches = scored.where(F.col("jw") >= jw_threshold)
+        score_col = F.col("jw")
     if pair_scorer is not None:
         matches = matches.where(F.col("p1") >= conf_threshold)
     matches = _materialize(
-        spark, matches.select("id1", "id2", "jw"), work_dir, "s3_matches"
+        spark, matches.select("id1", "id2", score_col), work_dir, "s3_matches"
     )
 
     # S4 — transitive closure

@@ -34,11 +34,24 @@ def main() -> None:
                     help="add m: MinHash-band keys (long-text keys)")
     ap.add_argument("--use-anchors", action="store_true",
                     help="add a: anchor-text keys (short/corrupted titles)")
+    ap.add_argument("--scorer", choices=["jw", "fs"], default="jw",
+                    help="pair scorer: jw = Jaro-Winkler Arrow UDF; fs = "
+                         "Fellegi-Sunter m/u model fit unsupervised by EM "
+                         "(UDF-free, whole-stage-codegen scoring)")
+    ap.add_argument("--fs-threshold-bits", type=float, default=2.0,
+                    help="fs: min total log2(m/u) evidence for a match")
+    ap.add_argument("--fs-fit-fraction", type=float, default=1.0,
+                    help="fs: fit EM on this deterministic hash_sample "
+                         "fraction of the candidate pairs (fit on a slice, "
+                         "score everything)")
     ap.add_argument("--incremental-state",
                     help="persistent ER state dir: fold the input into the "
                          "existing clustering (bootstraps on first run) "
                          "instead of batch re-clustering")
     args = ap.parse_args()
+    if args.incremental_state and args.scorer != "jw":
+        ap.error("--scorer fs is batch-only; --incremental-state scores "
+                 "deltas with the jw path")
 
     from pyspark.sql import SparkSession
 
@@ -77,6 +90,9 @@ def main() -> None:
             max_block_size=args.max_block_size,
             use_minhash=args.use_minhash,
             use_anchors=args.use_anchors,
+            scorer=args.scorer,
+            fs_threshold_bits=args.fs_threshold_bits,
+            fs_fit_fraction=args.fs_fit_fraction,
         )
     out.write.mode("overwrite").parquet(args.output)
     print(f"clusters written to {args.output}: {spark.read.parquet(args.output).count()} rows")

@@ -294,3 +294,58 @@ def test_tf_adjust_single_record_scan(spark):
     # one LocalTableScan for rec + one reused/broadcast total — no
     # second scan of the record relation beyond the reused exchange
     assert plan.count("LocalTableScan") <= 2
+
+
+def test_random_pairs_deterministic_and_shaped(spark):
+    from deezymatch_spark.operators.fs_linkage import random_pairs
+
+    rec = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("t"), F.col("id")).alias("name")
+    )
+    p1 = random_pairs(rec, "id", ["name"], bucket_rows=20).collect()
+    p2 = random_pairs(rec, "id", ["name"], bucket_rows=20).collect()
+    assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))  # deterministic
+    # ~n-n_buckets pairs, each record appears at most twice
+    assert 90 <= len(p1) <= 99
+    from collections import Counter
+
+    c = Counter()
+    for r in p1:
+        c[r["id1"]] += 1
+        c[r["id2"]] += 1
+    assert max(c.values()) <= 2
+    # payload columns ride along correctly
+    ids = {(r["id1"], r["name_1"]) for r in p1}
+    assert all(n == f"t{i}" for i, n in ids)
+    with pytest.raises(ValueError, match="at least 2"):
+        random_pairs(rec.limit(1), "id", ["name"])
+
+
+def test_u_probs_and_fixed_u_em():
+    from deezymatch_spark.operators.fs_linkage import (
+        py_fs_em,
+        u_probs_from_counts,
+    )
+
+    # random-pair contingency: field 0 almost always disagrees
+    counts = {(0, 0): 900, (0, 1): 60, (1, 0): 30, (2, 0): 10}
+    u = u_probs_from_counts(counts, ["a", "b"], [3, 2])
+    assert u["a"][0] == pytest.approx(0.96)
+    assert u["a"][2] == pytest.approx(0.01)
+    assert u["b"][1] == pytest.approx(0.06)
+    with pytest.raises(ValueError, match="empty"):
+        u_probs_from_counts({}, ["a"], [3])
+
+    # fixed-u EM: u never moves, m still fits. Blocked-pair-like
+    # contingency that free EM would split exact-vs-fuzzy on.
+    blocked = {(2, 1): 500, (1, 1): 400, (0, 0): 50, (1, 0): 60}
+    fit = py_fs_em(blocked, ["a", "b"], [3, 2], fixed_u=u)
+    assert fit.u["a"] == pytest.approx([0.96, 0.03, 0.01])
+    assert fit.u["b"] == pytest.approx([0.94, 0.06])
+    # matches dominate the blocked set and agree at level >=1
+    assert fit.lam > 0.7
+    assert fit.m["a"][1] + fit.m["a"][2] > 0.9
+    with pytest.raises(ValueError, match="missing fields"):
+        py_fs_em(blocked, ["a", "b"], [3, 2], fixed_u={"a": [1, 0, 0]})
+    with pytest.raises(ValueError, match="arity"):
+        py_fs_em(blocked, ["a", "b"], [3, 2], fixed_u={"a": [1, 0], "b": [1, 0]})
