@@ -282,6 +282,19 @@ def main() -> None:
             extras["pages"] = n_pages
             extras["pages_per_sec"] = round(n_pages / el, 1)
             extras["pipeline_out_rows"] = n_rows
+            # Fellegi-Sunter scorer mode (UDF-free S2+S3): reported as
+            # an extra, NOT summed into headline_total, so round-over-
+            # round totals stay comparable. Best-of-2 data-cold reps.
+            els_fs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t1 = time.time()
+                run_er_pipeline(spark, n_pages=n_pages, scorer="fs").count()
+                els_fs.append(time.time() - t1)
+            el_fs = min(els_fs)
+            spark.catalog.clearCache()
+            extras["pipeline_fs_sec"] = round(el_fs, 3)
+            extras["pages_per_sec_fs"] = round(n_pages / el_fs, 1)
         elif name == "pairwise_scoring":
             n_pairs, el = bench_pairwise_scoring(spark, n_pages)
             extras["pairs_scored"] = n_pairs

@@ -265,6 +265,7 @@ def er_stages(
         raise ValueError(f"er_stages: scorer must be 'jw' or 'fs', got {scorer!r}")
     if not 0.0 < fs_fit_fraction <= 1.0:
         raise ValueError("er_stages: fs_fit_fraction must be in (0, 1]")
+    fs_cv_cache = None
     spark = spark or pages.sparkSession
 
     # S0 — extract + normalize. html is pruned immediately after the
@@ -374,6 +375,13 @@ def er_stages(
         # work_dir mode the blocked one reads the checkpointed parquet
         # instead of re-running the pair join. The fitted weights fold
         # into the plan as literals — scoring is a pure projection.
+        if work_dir is None:
+            # the fit is an action over the gated pairs and the match
+            # stage consumes them again — persist the (small,
+            # post-Levenshtein-gate) cv frame so the pair join runs
+            # once, matching the jw path's single pass
+            scored = scored.persist()
+            fs_cv_cache = scored
         u_src = docs.select("id", F.col("title_norm").alias("t1"))
         rp = random_pairs(u_src, "id", ["t1"]).select(
             F.col("t1_1").alias("t1"), F.col("t1_2").alias("t2")
@@ -435,12 +443,14 @@ def er_stages(
 
     def release():
         """Drop every cache this call pinned (docs persist + blocking
-        keys). Call once the caller is done with the returned frames —
-        required in work_dir=None mode where stages stay lazy and the
-        caches must outlive this function."""
+        keys + the fs cv frame). Call once the caller is done with the
+        returned frames — required in work_dir=None mode where stages
+        stay lazy and the caches must outlive this function."""
         release_persisted(scored_raw)
         if work_dir is None:
             docs.unpersist()
+            if fs_cv_cache is not None:
+                fs_cv_cache.unpersist()
 
     return {
         "docs": docs,
