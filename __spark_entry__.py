@@ -396,14 +396,31 @@ def q_ranker_blocked(spark, sf):
 
 
 def q_cc_components(spark, sf):
+    """CC + threshold-sweep composite: connected components of the
+    weighted same-label adjacency graph at match thresholds [2, 0]
+    (operators/incremental.py:clusters_at_thresholds — CC from scratch
+    only at the tightest threshold, each lower threshold folds in just
+    its edge BAND via update_clusters' delta-neighborhood path; the
+    t=0 section is the original cc_components query). Edge weight =
+    src % 4, a deterministic stand-in for a match score."""
+    from deezymatch_spark.operators import clusters_at_thresholds
+
     e = _t(spark, sf, "embeddings")
     a, b = e.alias("a"), e.alias("b")
     edges = a.join(
         b,
         (F.col("b.vec_id") == F.col("a.vec_id") + 1)
         & (F.col("a.label") == F.col("b.label")),
-    ).select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-    return connected_components(edges).select("node", "component")
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.pmod(F.col("a.vec_id"), F.lit(4)).alias("weight"),
+    )
+    return clusters_at_thresholds(edges, [2, 0]).select(
+        F.col("threshold").cast("long").alias("threshold"),
+        "node",
+        "component",
+    )
 
 
 def q_train_split(spark, sf):
@@ -643,6 +660,35 @@ def _jw_fs_oracle_sql() -> str:
         from cv
         left join tf on cv.gamma_token = 2 and cv.wa = tf.tf_value
         cross join tot"""
+
+
+def _cc_sweep_oracle_sql() -> str:
+    """DuckDB twin of the q_cc_components threshold sweep: at each t
+    the same-label adjacency edge (v-1 -> v, weight (v-1)%4) survives
+    iff its weight >= t, so components are gaps-and-islands runs that
+    BREAK where the predecessor is absent or the edge is under
+    threshold — a closed form for this graph family, which keeps the
+    oracle independent of the incremental update path it checks."""
+
+    def one(t: int) -> str:
+        return f"""
+            select {t} as threshold, vec_id as node, component from (
+              select vec_id,
+                     min(vec_id) over (partition by label, isl) as component,
+                     count(*) over (partition by label, isl) as n
+              from (
+                select vec_id, label,
+                       sum(brk) over (partition by label order by vec_id) as isl
+                from (
+                  select vec_id, label,
+                         case when lag(vec_id) over (partition by label order by vec_id)
+                                   is distinct from vec_id - 1
+                               or ((vec_id - 1) % 4) < {t} then 1 else 0 end as brk
+                  from embeddings))) where n > 1"""
+
+    return f"""
+        select cast(threshold as bigint) as threshold, node, component
+        from ({one(2)} union all {one(0)})"""
 
 
 def q_doc_fingerprints(spark, sf):
@@ -1783,14 +1829,7 @@ def oracle_sql() -> dict[str, str]:
                    from dd where dn = 1)
             select query_id, rank, candidate_id, round(dist, 6) as faiss_dist
             from rk where rank <= {RANKER_K}""",
-        "cc_components": """
-            with r as (select vec_id, label,
-                         vec_id - row_number() over (partition by label order by vec_id) as isl
-                       from embeddings),
-            g as (select vec_id, min(vec_id) over (partition by label, isl) as component,
-                         count(*) over (partition by label, isl) as n
-                  from r)
-            select vec_id as node, component from g where n > 1""",
+        "cc_components": _cc_sweep_oracle_sql(),
         "train_split": """
             with c as (select label, count(*) as n_total from embeddings group by label),
             p as (select vec_id, e.label,

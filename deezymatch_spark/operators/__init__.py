@@ -26,7 +26,7 @@ from .dedup import (
 )
 from .c4 import c4_clean_lines, c4_filter
 from .gopher import GOPHER_DEFAULTS, gopher_filter
-from .incremental import remove_nodes, update_clusters
+from .incremental import clusters_at_thresholds, remove_nodes, update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
 from .lm import char_ngram_lm, lm_score
 from .quality_lr import (
@@ -84,7 +84,7 @@ __all__ = [
     "duplicated_sentences", "semantic_dedup", "sentence_dedup", "simhash_dup_pairs",
     "substring_dedup", "substring_dup_spans", "substring_dup_stats",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",
-    "remove_nodes", "update_clusters",
+    "clusters_at_thresholds", "remove_nodes", "update_clusters",
     "brute_force_topk", "ivf_topk", "lsh_topk",
     "char_ngram_lm", "lm_score",
     "chunk_documents", "materialize_sequences", "pack_sequences",

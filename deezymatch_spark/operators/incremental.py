@@ -30,7 +30,68 @@ from pyspark.sql import DataFrame, functions as F
 
 from .cc import connected_components
 
-__all__ = ["remove_nodes", "update_clusters"]
+__all__ = ["clusters_at_thresholds", "remove_nodes", "update_clusters"]
+
+
+def clusters_at_thresholds(
+    edges: DataFrame,
+    thresholds: list,
+    *,
+    weight_col: str = "weight",
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Clustering at several match thresholds in ONE sweep — the
+    threshold-selection analysis every Splink deployment runs before
+    committing to a cutoff (how do clusters grow as the bar lowers?).
+    → DataFrame[threshold, node, component]: for each t in
+    ``thresholds`` the connected components of ``edges`` restricted to
+    ``weight >= t``. Per-threshold semantics identical to
+    :func:`connected_components` (edgeless nodes absent; component =
+    min member id).
+
+    Scale shape: ``thresholds`` must be STRICTLY DECREASING — the
+    sweep computes CC from scratch only at the tightest threshold,
+    then folds each successive edge BAND ``prev_t > w >= t`` in with
+    :func:`update_clusters`, whose cost is the band's delta
+    neighborhood, not the corpus. A naive per-threshold CC re-run is
+    |thresholds| full passes over the match graph; this is one pass
+    plus per-band increments (clusters only ever merge as t drops, so
+    incremental == from-scratch — property-tested). Each step's
+    clustering is lazily localCheckpointed so plan lineage stays flat
+    across bands.
+    """
+    if not thresholds:
+        raise ValueError("clusters_at_thresholds: empty thresholds")
+    if any(b >= a for a, b in zip(thresholds, thresholds[1:])):
+        raise ValueError(
+            "clusters_at_thresholds: thresholds must be strictly "
+            f"decreasing, got {thresholds}"
+        )
+    w = F.col(weight_col)
+    e = edges.select(w.alias("_w"), F.col(src).alias("src"), F.col(dst).alias("dst"))
+    clusters = None
+    prev_t = None
+    out = []
+    for t in thresholds:
+        if clusters is None:
+            band = e.where(F.col("_w") >= F.lit(t))
+            clusters = connected_components(
+                band.select("src", "dst"), **cc_kwargs
+            )
+        else:
+            band = e.where((F.col("_w") >= F.lit(t)) & (F.col("_w") < F.lit(prev_t)))
+            clusters = update_clusters(
+                clusters, band.select("src", "dst"), **cc_kwargs
+            )
+        clusters = clusters.localCheckpoint(eager=False)
+        out.append(clusters.select(F.lit(t).alias("threshold"), "node", "component"))
+        prev_t = t
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def update_clusters(
