@@ -68,6 +68,8 @@ __all__ = [
     "random_pairs",
     "term_frequencies",
     "fs_tf_adjust",
+    "fs_params_table",
+    "unlinkable_records",
     "FSParams",
     "seed_fs_params",
     "seed_fs_weights",
@@ -435,6 +437,69 @@ def fs_tf_adjust(
         joined.withColumn(f"tf_{field}_ratio_micro", ratio.cast("long"))
         .withColumn(f"tf_{field}_adj_bits", adj)
         .drop("tf_value", "tf_count", "tf_total")
+    )
+
+
+def fs_params_table(spark, params: FSParams) -> DataFrame:
+    """Fitted-model diagnostics as a DataFrame (the data behind
+    Splink's match-weights chart): one row per (field, level) with m,
+    u, and the micro log2(m/u) weight actually used by
+    :func:`fs_score`. Driver-side literals — the table is
+    ≤ sum(n_levels) rows by construction."""
+    ws = fs_match_weights(params)
+    rows = []
+    for f in sorted(params.m):
+        for l, (mi, ui) in enumerate(zip(params.m[f], params.u[f])):
+            rows.append((f, l, float(mi), float(ui), int(ws[f][l])))
+    return spark.createDataFrame(
+        rows,
+        "field string, level int, m double, u double, weight_micro long",
+    )
+
+
+def unlinkable_records(
+    records: DataFrame,
+    scored_pairs: DataFrame,
+    threshold_micro: int,
+    *,
+    id_col: str = "id",
+    id1: str = "id1",
+    id2: str = "id2",
+    weight_col: str = "match_weight_micro",
+) -> DataFrame:
+    """Splink's unlinkables analysis: how many records have NO
+    candidate pair at or above the weight threshold? High counts mean
+    the threshold (or the blocking) is starving the linkage. → 1-row
+    ``[n_records, n_linkable, n_unlinkable, unlinkable_micro]``
+    (exact ``(n·10⁶) div total`` bigints).
+
+    Shape: the linkable-endpoint set is distinct ids of the
+    above-threshold pairs — match-graph-sized, far smaller than the
+    corpus — so the count runs as one map-combined distinct + a
+    broadcast-friendly semi-join count; the record table never
+    shuffles."""
+    hits = scored_pairs.where(F.col(weight_col) >= F.lit(int(threshold_micro)))
+    ends = (
+        hits.select(F.col(id1).alias("_e"))
+        .unionAll(hits.select(F.col(id2).alias("_e")))
+        .distinct()
+    )
+    ids = records.select(F.col(id_col).alias("_id"))
+    linked = ids.join(F.broadcast(ends), ids["_id"] == F.col("_e"), "left_semi")
+    agg = ids.agg(F.count("*").cast("long").alias("n_records")).crossJoin(
+        linked.agg(F.count("*").cast("long").alias("n_linkable"))
+    )
+    return agg.select(
+        "n_records",
+        "n_linkable",
+        (F.col("n_records") - F.col("n_linkable")).alias("n_unlinkable"),
+        F.when(
+            F.col("n_records") > 0,
+            F.expr("((n_records - n_linkable) * 1000000L) div n_records"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("unlinkable_micro"),
     )
 
 

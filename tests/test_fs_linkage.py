@@ -349,3 +349,33 @@ def test_u_probs_and_fixed_u_em():
         py_fs_em(blocked, ["a", "b"], [3, 2], fixed_u={"a": [1, 0, 0]})
     with pytest.raises(ValueError, match="arity"):
         py_fs_em(blocked, ["a", "b"], [3, 2], fixed_u={"a": [1, 0], "b": [1, 0]})
+
+
+def test_fs_params_table_and_unlinkables(spark):
+    from deezymatch_spark.operators.fs_linkage import (
+        fs_params_table,
+        seed_fs_params,
+        seed_fs_weights,
+        unlinkable_records,
+    )
+
+    tab = fs_params_table(spark, seed_fs_params()).collect()
+    w = seed_fs_weights()
+    assert len(tab) == 9  # 3 fields x 3 levels
+    for r in tab:
+        assert r["weight_micro"] == w[r["field"]][r["level"]]
+        assert 0.0 <= r["m"] <= 1.0 and 0.0 <= r["u"] <= 1.0
+    # agreement outweighs disagreement for every field
+    by = {(r["field"], r["level"]): r["weight_micro"] for r in tab}
+    for f in ("prefix", "token", "len"):
+        assert by[(f, 2)] > by[(f, 0)]
+
+    rec = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    pairs = spark.createDataFrame(
+        [(0, 1, 3_000_000), (1, 2, 500_000), (8, 9, 2_000_000)],
+        "id1 long, id2 long, match_weight_micro long",
+    )
+    row = unlinkable_records(rec, pairs, 1_000_000).collect()[0]
+    # linked at >=1.0 bit: {0,1,8,9}
+    assert (row["n_records"], row["n_linkable"], row["n_unlinkable"]) == (10, 4, 6)
+    assert row["unlinkable_micro"] == 600_000
