@@ -201,12 +201,54 @@ def q_ngram_blocking_keys(spark, sf):
 
 
 def q_block_sizes(spark, sf):
-    return (
-        q_ngram_blocking_keys(spark, sf)
-        .groupBy("block_key")
+    """Blocking-layer composite (contract stays at 50 queries): block
+    size profile ∪ sorted-neighborhood pairs (operators/snm.py —
+    Hernández & Stolfo 1995, global rank via prefix buckets + band
+    self-join, never a single-partition sort) ∪ meta-blocking WEP
+    survivors (operators/meta_blocking.py — Papadakis et al. 2014,
+    exact-integer Jaccard-scheme weights, mean-weight edge pruning).
+    Kind-discriminated aligned schema; -1/'' sentinels instead of
+    NULLs so a pandas fetch never widens a bigint to float64."""
+    from deezymatch_spark.operators import (
+        meta_blocked_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    keys = q_ngram_blocking_keys(spark, sf)
+    sizes = (
+        keys.groupBy("block_key")
         .agg(F.count("*").cast("long").alias("n_docs"))
         .where(F.col("n_docs") > 1)
+        .select(
+            F.lit("size").alias("kind"),
+            F.col("block_key").alias("key"),
+            F.lit(-1).cast("long").alias("id1"),
+            F.lit(-1).cast("long").alias("id2"),
+            F.lit(-1).cast("long").alias("cbs"),
+            F.col("n_docs").alias("w"),
+        )
     )
+    snm = sorted_neighborhood_pairs(
+        _docs_norm(spark, sf), "doc_id", "t", window=4, bucket_chars=2
+    ).select(
+        F.lit("snm").alias("kind"),
+        F.lit("").alias("key"),
+        "id1",
+        "id2",
+        F.lit(-1).cast("long").alias("cbs"),
+        F.lit(-1).cast("long").alias("w"),
+    )
+    meta = meta_blocked_pairs(
+        keys, scheme="js", max_block_size=100, id_col="doc_id"
+    ).select(
+        F.lit("meta").alias("kind"),
+        F.lit("").alias("key"),
+        "id1",
+        "id2",
+        "cbs",
+        F.col("weight_micro").alias("w"),
+    )
+    return sizes.unionByName(snm).unionByName(meta)
 
 
 def q_minhash_signature(spark, sf):
@@ -1746,8 +1788,34 @@ def oracle_sql() -> dict[str, str]:
             from {norm_docs}""",
         "block_sizes": f"""
             with k as (select doc_id, unnest(list_distinct({g12})) as block_key
-                       from {norm_docs})
-            select block_key, count(*) as n_docs from k group by 1 having count(*) > 1""",
+                       from {norm_docs}),
+            sizes as (select block_key, count(*) as n from k group by 1),
+            -- sorted-neighborhood: rank in (key, id) order, pair within 3
+            r as (select doc_id, row_number() over (order by t, doc_id) - 1 as r
+                  from {norm_docs}),
+            -- meta-blocking: cap hot blocks, JS weights, WEP mean prune
+            dropped as (select block_key from sizes where n > 100),
+            kept as (select k.* from k anti join dropped using(block_key)),
+            deg as (select doc_id, count(*) as d from kept group by 1),
+            p as (select a.doc_id as id1, b.doc_id as id2,
+                         cast(count(*) as bigint) as cbs
+                  from kept a join kept b using(block_key)
+                  where a.doc_id < b.doc_id group by 1, 2),
+            pw as (select id1, id2, cbs,
+                     cast((cbs * 1000000) // (da.d + db.d - cbs) as bigint) as w
+                   from p
+                   join deg da on da.doc_id = p.id1
+                   join deg db on db.doc_id = p.id2),
+            thr as (select cast(sum(w) // count(*) as bigint) as t from pw)
+            select 'size' as kind, block_key as key,
+                   cast(-1 as bigint) as id1, cast(-1 as bigint) as id2,
+                   cast(-1 as bigint) as cbs, cast(n as bigint) as w
+            from sizes where n > 1
+            union all
+            select 'snm', '', a.doc_id, b.doc_id, -1, -1
+            from r a join r b on b.r - a.r between 1 and 3
+            union all
+            select 'meta', '', id1, id2, cbs, w from pw, thr where w >= t""",
         "minhash_signature": f"""
             with d as (select doc_id, list_distinct({g4}) as grams
                        from {norm_docs} where length(t) >= 4)

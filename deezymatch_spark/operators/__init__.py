@@ -57,7 +57,9 @@ from .metrics import (
     classification_metrics,
     mean_average_precision,
 )
+from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
+from .snm import sorted_neighborhood_pairs
 from .sessions import session_stats, sessionize
 from .survivorship import assign_clusters, golden_records
 from .sampling import (
@@ -94,6 +96,8 @@ __all__ = [
     "comparison_vectors", "fs_fit", "fs_match_weights", "fs_pattern_counts",
     "fs_score", "fs_tf_adjust", "seed_fs_params", "seed_fs_weights",
     "term_frequencies",
+    "meta_block_weights", "meta_blocked_pairs",
+    "sorted_neighborhood_pairs",
     "candidate_ranker", "validate_ranker_args",
     "assign_clusters", "golden_records",
     "train_val_test_split",
