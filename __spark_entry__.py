@@ -1229,7 +1229,36 @@ def q_bcubed_eval(spark, sf):
     bq = blocking_quality(
         pairs.select("id1", "id2"), gold, n_records=both.count()
     )
-    return bcubed(assign, scaled=True).crossJoin(bq)
+    # r4: pairwise partition metrics (metrics.py:pairwise_cluster_metrics
+    # — Menestrina et al. 2010) over the same assignment, pw_-prefixed to
+    # avoid colliding with bcubed's micro columns, and the truth→pred
+    # clustering diff (metrics.py:cluster_diff) folded to status counts
+    from deezymatch_spark.operators import cluster_diff, pairwise_cluster_metrics
+
+    assign = assign.localCheckpoint(eager=False)
+    pw = pairwise_cluster_metrics(assign, scaled=True).select(
+        F.col("tp_pairs").alias("pw_tp_pairs"),
+        F.col("pred_pairs").alias("pw_pred_pairs"),
+        F.col("truth_pairs").alias("pw_truth_pairs"),
+        F.col("precision_micro").alias("pw_precision_micro"),
+        F.col("recall_micro").alias("pw_recall_micro"),
+        F.col("f1_micro").alias("pw_f1_micro"),
+        F.col("rand_micro").alias("pw_rand_micro"),
+    )
+    diff = cluster_diff(
+        assign.select("id", F.col("truth").alias("cluster")),
+        assign.select("id", F.col("pred").alias("cluster")),
+    )
+    dc = diff.agg(
+        F.sum((F.col("status") == "intact").cast("long")).alias("n_intact"),
+        F.sum((F.col("status") == "split").cast("long")).alias("n_split"),
+        F.sum((F.col("status") == "merged").cast("long")).alias("n_merged"),
+        F.sum((F.col("status") == "split_merged").cast("long")).alias(
+            "n_split_merged"
+        ),
+        F.sum("n_items").alias("diff_items"),
+    )
+    return bcubed(assign, scaled=True).crossJoin(bq).crossJoin(pw).crossJoin(dc)
 
 
 def q_incremental_clusters(spark, sf):
@@ -2363,15 +2392,56 @@ def oracle_sql() -> dict[str, str]:
                                 then 1000000 - (n_cand * 1000000)
                                                // (nrec * (nrec - 1) // 2)
                                 else -1 end as bigint) as reduction_ratio_micro
-                    from bq)
+                    from bq),
+            -- pairwise partition metrics from the same contingency cells
+            pwa as (select cast(sum((n_pt*(n_pt-1))//2) as bigint) as tp_p,
+                           cast(sum(n_pt) as bigint) as n_i from cells),
+            pp as (select cast(sum((n_p*(n_p-1))//2) as bigint) as pred_p from np),
+            tt as (select cast(sum((n_t*(n_t-1))//2) as bigint) as truth_p from nt),
+            pwm as (select tp_p as pw_tp_pairs, pred_p as pw_pred_pairs,
+                           truth_p as pw_truth_pairs,
+                           cast(case when pred_p > 0
+                                then (tp_p*1000000)//pred_p else -1 end as bigint)
+                             as pw_precision_micro,
+                           cast(case when truth_p > 0
+                                then (tp_p*1000000)//truth_p else -1 end as bigint)
+                             as pw_recall_micro,
+                           cast(case when (n_i*(n_i-1))//2 > 0
+                                then (((n_i*(n_i-1))//2 - pred_p - truth_p + 2*tp_p)
+                                      * 1000000) // ((n_i*(n_i-1))//2)
+                                else -1 end as bigint) as pw_rand_micro
+                    from pwa, pp, tt),
+            pwm2 as (select *, cast(case when pw_precision_micro >= 0
+                             and pw_recall_micro >= 0
+                             and pw_precision_micro + pw_recall_micro > 0
+                           then (2*pw_precision_micro*pw_recall_micro)
+                                // (pw_precision_micro + pw_recall_micro)
+                           else -1 end as bigint) as pw_f1_micro
+                     from pwm),
+            -- truth→pred clustering diff, folded to status counts
+            nm as (select pred as nc, count(*) as fo from cells group by 1),
+            po as (select truth as oc, sum(n_pt) as ni, count(*) as nn,
+                          max(fo) as mf
+                   from cells join nm on cells.pred = nm.nc group by truth),
+            dc as (select
+                     cast(sum(case when nn = 1 and mf = 1 then 1 else 0 end) as bigint) as n_intact,
+                     cast(sum(case when nn > 1 and mf = 1 then 1 else 0 end) as bigint) as n_split,
+                     cast(sum(case when nn = 1 and mf > 1 then 1 else 0 end) as bigint) as n_merged,
+                     cast(sum(case when nn > 1 and mf > 1 then 1 else 0 end) as bigint) as n_split_merged,
+                     cast(sum(ni) as bigint) as diff_items
+                   from po)
             select cast(round(p * 1e6, 0) as bigint) as precision_micro,
                    cast(round(r * 1e6, 0) as bigint) as recall_micro,
                    cast(round(2*p*r / greatest(p + r, 1e-12) * 1e6, 0) as bigint) as f1_micro,
                    cast(n_items as bigint) as n_items,
                    n_cand, n_gold, n_found,
                    pair_completeness_micro, pairs_quality_micro,
-                   reduction_ratio_micro
-            from m, bqm""",
+                   reduction_ratio_micro,
+                   pw_tp_pairs, pw_pred_pairs, pw_truth_pairs,
+                   pw_precision_micro, pw_recall_micro, pw_f1_micro,
+                   pw_rand_micro,
+                   n_intact, n_split, n_merged, n_split_merged, diff_items
+            from m, bqm, pwm2, dc""",
         "incremental_clusters": f"""
             with recursive {_neardup_ctes(1000000, "doc_id % 7 <> 5")},
             {closure_ctes}

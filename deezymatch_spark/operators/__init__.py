@@ -55,7 +55,9 @@ from .metrics import (
     bcubed,
     blocking_quality,
     classification_metrics,
+    cluster_diff,
     mean_average_precision,
+    pairwise_cluster_metrics,
 )
 from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
@@ -92,7 +94,8 @@ __all__ = [
     "chunk_documents", "materialize_sequences", "pack_sequences",
     "shuffle_sequences",
     "fit_quality_lr", "score_quality_lr", "seed_quality_weights",
-    "bcubed", "blocking_quality", "classification_metrics", "mean_average_precision",
+    "bcubed", "blocking_quality", "classification_metrics", "cluster_diff",
+    "mean_average_precision", "pairwise_cluster_metrics",
     "comparison_vectors", "fs_fit", "fs_match_weights", "fs_pattern_counts",
     "fs_score", "fs_tf_adjust", "seed_fs_params", "seed_fs_weights",
     "term_frequencies",

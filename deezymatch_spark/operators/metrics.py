@@ -27,6 +27,8 @@ __all__ = [
     "classification_metrics",
     "bcubed",
     "blocking_quality",
+    "cluster_diff",
+    "pairwise_cluster_metrics",
 ]
 
 
@@ -337,4 +339,197 @@ def blocking_quality(
         F.coalesce(pc, F.lit(-1)).cast("long").alias("pair_completeness_micro"),
         F.coalesce(pq, F.lit(-1)).cast("long").alias("pairs_quality_micro"),
         F.coalesce(rr, F.lit(-1)).cast("long").alias("reduction_ratio_micro"),
+    )
+
+def pairwise_cluster_metrics(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+    scaled: bool = False,
+) -> DataFrame:
+    """Pairwise clustering evaluation — the other standard ER partition
+    metric next to B-cubed (Menestrina, Whang & Garcia-Molina 2010,
+    "Evaluating Entity Resolution Results"): score every unordered item
+    pair on whether the two clusterings agree that it is co-clustered.
+
+    ``df``: one row per item [id, pred, truth]. → 1-row frame with the
+    pair-count ingredients plus the derived ratios:
+
+        tp_pairs    = pairs co-clustered in BOTH         (Σ C(n_pt, 2))
+        pred_pairs  = pairs co-clustered in pred         (Σ C(n_p, 2))
+        truth_pairs = pairs co-clustered in truth        (Σ C(n_t, 2))
+        total_pairs = C(n_items, 2)
+        precision   = tp/pred   recall = tp/truth   f1 = harmonic mean
+        rand        = (total - pred - truth + 2·tp) / total
+                      (agreements on both sides, by inclusion-exclusion)
+
+    Like bcubed, everything derives from the (pred, truth) contingency
+    cells — one map-combined groupBy plus two cell-level marginal
+    re-aggregations; no item pair is ever materialized (the naive
+    co-clustered-pair join is O(Σ cluster²) and dies on a mega-cluster).
+
+    ``scaled=True`` is the cross-engine hash-stable form: ratios as
+    exact bigints ``(num · 10⁶) div den``, -1 integer sentinels for
+    undefined cells (never NULL — NULL-in-bigint collapses to float64
+    on a pandas fetch). Exact-integer range: the micro numerators are
+    bounded by total_pairs·10⁶, which wraps int64 once
+    n_items > ~4.29M — guarded with a loud raise_error embedded in the
+    output expression (column pruning cannot drop it). The default
+    double path has no such limit and is the production form.
+    """
+    cells = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(pred_col).alias("pred"),
+            F.col(truth_col).alias("truth"),
+        )
+        .groupBy("pred", "truth")
+        .agg(F.count("*").alias("n_pt"))
+    )
+    c2 = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
+    a_tp = cells.agg(
+        F.sum(c2("n_pt")).alias("tp_pairs"), F.sum("n_pt").alias("n_items")
+    )
+    a_p = (
+        cells.groupBy("pred")
+        .agg(F.sum("n_pt").alias("n_p"))
+        .agg(F.sum(c2("n_p")).alias("pred_pairs"))
+    )
+    a_t = (
+        cells.groupBy("truth")
+        .agg(F.sum("n_pt").alias("n_t"))
+        .agg(F.sum(c2("n_t")).alias("truth_pairs"))
+    )
+    j = (
+        a_tp.crossJoin(a_p)
+        .crossJoin(a_t)
+        .withColumn("total_pairs", c2("n_items"))
+    )
+    if not scaled:
+        agree = (
+            F.col("total_pairs")
+            - F.col("pred_pairs")
+            - F.col("truth_pairs")
+            + 2 * F.col("tp_pairs")
+        )
+        prec = F.col("tp_pairs") / F.greatest("pred_pairs", F.lit(1))
+        rec = F.col("tp_pairs") / F.greatest("truth_pairs", F.lit(1))
+        return j.select(
+            "tp_pairs", "pred_pairs", "truth_pairs", "total_pairs", "n_items",
+            prec.alias("precision"),
+            rec.alias("recall"),
+            (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12))).alias("f1"),
+            (agree / F.greatest("total_pairs", F.lit(1))).alias("rand"),
+        )
+
+    # exact-integer range guard: rand's numerator is bounded by
+    # 2·total_pairs, so (num·10⁶) wraps int64 past total_pairs ≈ 4.6e12
+    # → n_items ≈ 4.29e6. Embedded in n_items so pruning keeps it.
+    n_lim = 4_290_000
+    n_guarded = F.when(
+        F.col("n_items") > n_lim,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pairwise_cluster_metrics(scaled=True) exact-integer "
+                    "range exceeded: "
+                ),
+                F.col("n_items").cast("string"),
+                F.lit(f" items > {n_lim}; use scaled=False"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_items"))
+
+    def _ratio(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0, F.expr(f"({num} * 1000000L) div {den}")
+        ).otherwise(F.lit(-1)).cast("long")
+
+    out = j.select(
+        "tp_pairs", "pred_pairs", "truth_pairs", "total_pairs",
+        n_guarded.alias("n_items"),
+        _ratio("tp_pairs", "pred_pairs").alias("precision_micro"),
+        _ratio("tp_pairs", "truth_pairs").alias("recall_micro"),
+        F.expr(
+            "(total_pairs - pred_pairs - truth_pairs + 2 * tp_pairs)"
+        ).alias("_agree"),
+    )
+    p, r = F.col("precision_micro"), F.col("recall_micro")
+    f1 = F.when(
+        (p >= 0) & (r >= 0) & (p + r > 0),
+        F.expr("(2 * precision_micro * recall_micro) div "
+               "(precision_micro + recall_micro)"),
+    ).otherwise(F.lit(-1)).cast("long")
+    rand = F.when(
+        F.col("total_pairs") > 0, F.expr("(_agree * 1000000L) div total_pairs")
+    ).otherwise(F.lit(-1)).cast("long")
+    return out.select(
+        "tp_pairs", "pred_pairs", "truth_pairs", "total_pairs", "n_items",
+        "precision_micro", "recall_micro",
+        f1.alias("f1_micro"), rand.alias("rand_micro"),
+    )
+
+
+def cluster_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Diff two clusterings of the same items — the regression report an
+    ER pipeline runs after changing a model/threshold (what did this
+    change SPLIT, what did it MERGE?), and the human-readable companion
+    to pairwise/bcubed score deltas.
+
+    Inputs: two assignments [id, cluster]; items present in both are
+    compared (an inner join — inserts/deletes are not this report's
+    subject). → one row per OLD cluster:
+
+        [old_cluster, n_items, n_new_clusters, status]
+
+    status: 'intact' (maps 1:1 onto a new cluster that contains nothing
+    else), 'split' (its items scattered over >1 new clusters, none
+    shared), 'merged' (kept together but its new cluster absorbed other
+    old clusters), 'split_merged' (both).
+
+    Scale shape: one join on id, one map-combined groupBy to the
+    (old, new) contingency cells, marginals over cells — O(cells), no
+    item pairs, no windows, no collects (same budget as bcubed).
+    """
+    o = old.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("_oc"))
+    n = new.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("_nc"))
+    cells = (
+        o.join(n, "id")
+        .groupBy("_oc", "_nc")
+        .agg(F.count("*").alias("n_on"))
+    )
+    # per NEW cluster: how many old clusters feed it (>1 → a merge site)
+    new_marg = cells.groupBy("_nc").agg(
+        F.count("*").cast("long").alias("_n_old")
+    )
+    per_old = (
+        cells.join(new_marg, "_nc")
+        .groupBy("_oc")
+        .agg(
+            F.sum("n_on").cast("long").alias("n_items"),
+            F.count("*").cast("long").alias("n_new_clusters"),
+            F.max("_n_old").alias("_max_fanin"),
+        )
+    )
+    is_split = F.col("n_new_clusters") > 1
+    is_merged = F.col("_max_fanin") > 1
+    status = (
+        F.when(is_split & is_merged, F.lit("split_merged"))
+        .when(is_split, F.lit("split"))
+        .when(is_merged, F.lit("merged"))
+        .otherwise(F.lit("intact"))
+    )
+    return per_old.select(
+        F.col("_oc").alias("old_cluster"),
+        "n_items",
+        "n_new_clusters",
+        status.alias("status"),
     )
