@@ -95,6 +95,44 @@ _D_NORM = "lower(trim(text))"
 _D_WORD_RE = WORD_SEP_REGEX.replace("'", "''")
 
 
+# Spark's soundex mapping (UTF8String.soundex): H/W = '7' (transparent)
+_SOUNDEX_MAP = "01230127022455012623017202"
+
+
+def _d_soundex(expr: str) -> str:
+    """DuckDB replica of Spark F.soundex, byte-exact for ASCII input
+    (property-tested against F.soundex over 5k random strings): a
+    list_reduce fold over the chars with accumulator '<sx>|<last_code>'.
+    Spark's variant: H/W transparent (code '7' keeps last), vowels reset
+    last without appending, non-letters act as separators, non-letter-
+    initial strings pass through unchanged."""
+
+    def code(c: str) -> str:
+        return f"substr('{_SOUNDEX_MAP}', ascii({c}) - 64, 1)"
+
+    return f"""
+    case
+      when len(regexp_extract_all(upper({expr}), '.')) = 0 then ''
+      when ascii(regexp_extract_all(upper({expr}), '.')[1]) < 65
+        or ascii(regexp_extract_all(upper({expr}), '.')[1]) > 90 then {expr}
+      else rpad(split_part(list_reduce(
+        list_prepend(
+          regexp_extract_all(upper({expr}), '.')[1] || '|'
+            || {code(f"regexp_extract_all(upper({expr}), '.')[1]")},
+          regexp_extract_all(upper({expr}), '.')[2:]),
+        (acc, c) -> case
+          when ascii(c) < 65 or ascii(c) > 90
+            then split_part(acc, '|', 1) || '|0'
+          when {code('c')} = '7' then acc
+          when {code('c')} = '0' then split_part(acc, '|', 1) || '|0'
+          when {code('c')} <> split_part(acc, '|', 2)
+               and length(split_part(acc, '|', 1)) < 4
+            then split_part(acc, '|', 1) || {code('c')} || '|' || {code('c')}
+          else split_part(acc, '|', 1) || '|' || {code('c')}
+        end), '|', 1), 4, '0')
+    end"""
+
+
 def _d_grams(expr: str, n: int) -> str:
     return (
         f"list_transform(generate_series(1, greatest(length({expr})-{n - 1},0)),"
@@ -195,9 +233,20 @@ def q_bpe_token_count(spark, sf):
 
 
 def q_ngram_blocking_keys(spark, sf):
-    return _docs_norm(spark, sf).select(
+    """Blocking-key composite: char-ngram keys ∪ 'p:'-prefixed soundex
+    phonetic keys of the ASCII-alpha tokens (functions/phonetic.py —
+    Spark's built-in F.soundex, oracled by a byte-exact DuckDB fold;
+    the prefixes keep the families disjoint). Feeds q_block_sizes."""
+    from deezymatch_spark.functions import soundex_token_keys
+
+    d = _docs_norm(spark, sf)
+    grams = d.select(
         "doc_id", F.explode(prefix_ngram_keys(F.col("t"), 3, 12)).alias("block_key")
     )
+    phon = d.select(
+        "doc_id", F.explode(soundex_token_keys(F.col("t"))).alias("_sx")
+    ).select("doc_id", F.concat(F.lit("p:"), F.col("_sx")).alias("block_key"))
+    return grams.unionByName(phon)
 
 
 def q_block_sizes(spark, sf):
@@ -1692,6 +1741,20 @@ def oracle_sql() -> dict[str, str]:
 
     norm_docs = f"(select doc_id, {_D_NORM} as t from documents)"
 
+    # shared by ngram_blocking_keys and block_sizes: gram keys ∪
+    # 'p:' soundex keys of the ASCII-alpha word tokens
+    blocking_keys_sql = f"""
+            select doc_id, unnest(list_distinct({g12})) as block_key
+            from {norm_docs}
+            union all
+            select doc_id, 'p:' || unnest(list_distinct(list_transform(
+                     list_filter(
+                       list_filter(string_split_regex(t, '{_D_WORD_RE}'),
+                                   x -> x != ''),
+                       x -> regexp_matches(x, '^[a-zA-Z]+$')),
+                     x -> {_d_soundex('x')}))) as block_key
+            from {norm_docs}"""
+
     # real-BPE oracle: same literal merge table (trained from the
     # SEED_CORPUS constant by the same deterministic trainer), applied
     # independently by DuckDB's replace/regexp engine
@@ -1813,11 +1876,9 @@ def oracle_sql() -> dict[str, str]:
                    substr(seg, 1, 160) as tok_prefix
             from s""",
         "ngram_blocking_keys": f"""
-            select doc_id, unnest(list_distinct({g12})) as block_key
-            from {norm_docs}""",
+            {blocking_keys_sql}""",
         "block_sizes": f"""
-            with k as (select doc_id, unnest(list_distinct({g12})) as block_key
-                       from {norm_docs}),
+            with k as ({blocking_keys_sql}),
             sizes as (select block_key, count(*) as n from k group by 1),
             -- sorted-neighborhood: rank in (key, id) order, pair within 3
             r as (select doc_id, row_number() over (order by t, doc_id) - 1 as r

@@ -41,6 +41,7 @@ from .bpe import (
     train_bpe_from_df,
 )
 from .expr import let_
+from .phonetic import soundex_token_keys
 from .pii import mask_pii, pii_stats
 from .urls import TRACKING_PARAM_REGEX, canonical_url
 from .udfs import jaro_winkler, jaro_winkler_udf, make_encode_udf, normalize_udf, tokenize_udf
@@ -50,7 +51,7 @@ __all__ = [
     "gram_hashes", "lsh_band_keys", "md5_long", "minhash_base",
     "minhash_from_base", "minhash_signature", "simhash",
     "char_ngrams", "distinct_char_ngrams", "normalize_basic",
-    "prefix_ngram_keys", "word_tokens",
+    "prefix_ngram_keys", "soundex_token_keys", "word_tokens",
     "bpe_token_count", "char_entropy", "doc_fingerprint", "lang_id", "punct_ratio", "quality_score",
     "gopher_signals", "GOPHER_STOPWORDS",
     "repetition_stats",

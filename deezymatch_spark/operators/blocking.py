@@ -61,6 +61,7 @@ def blocking_keys(
     prefix_len: int = 12,
     use_minhash: bool = True,
     use_words: bool = True,
+    use_phonetic: bool = False,
     minhash_grams: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
@@ -68,7 +69,7 @@ def blocking_keys(
 ) -> DataFrame:
     """→ DataFrame[id, block_key] (exploded, per-doc distinct).
 
-    Three key families, unioned:
+    Key families, unioned:
     - ``g:<ngram>`` — char ngrams of the normalized key's prefix
       (high recall for short strings / titles);
     - ``m:`` LSH band keys over a MinHash signature of all char ngrams
@@ -76,6 +77,9 @@ def blocking_keys(
     - ``w:<word>`` — exact word tokens: an edit corrupts one word, the
       remaining words still collide exactly. Recovers the recall that
       hot-key capping of common ngrams costs at scale.
+    - ``p:<soundex>`` (opt-in) — phonetic codes of the ASCII-alpha word
+      tokens (functions/phonetic.py): recall for sound-alike
+      respellings that share neither ngrams nor exact words.
     """
     s = F.col(key_col)
     # payload=True carries the key string in every key row so fused
@@ -95,6 +99,16 @@ def blocking_keys(
             *pay,
         ).withColumn("block_key", F.concat(F.lit("w:"), F.col("block_key")))
         out = out.unionByName(word_keys)
+
+    if use_phonetic:
+        from ..functions.phonetic import soundex_token_keys
+
+        phon_keys = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(soundex_token_keys(s)).alias("block_key"),
+            *pay,
+        ).withColumn("block_key", F.concat(F.lit("p:"), F.col("block_key")))
+        out = out.unionByName(phon_keys)
 
     if not use_minhash:
         return out

@@ -144,3 +144,29 @@ def test_meta_cap_kills_quadratic_block(spark):
     df = spark.createDataFrame(rows, "id long, block_key string")
     w = meta_block_weights(df, scheme="cbs", max_block_size=10)
     assert {(r.id1, r.id2) for r in w.collect()} == {(1, 2)}
+
+
+def test_soundex_token_keys(spark):
+    from deezymatch_spark.functions import soundex_token_keys
+
+    df = spark.createDataFrame(
+        [("Robert ashcraft, Ashcroft; münchen 42 Tymczak",)], "s string"
+    )
+    got = df.select(soundex_token_keys(F.col("s")).alias("k")).collect()[0].k
+    # H/W-transparent variant: ashcraft/Ashcroft -> A261 (distinct folds
+    # them to one key); non-ASCII and numeric tokens contribute nothing
+    assert got == ["R163", "A261", "T522"]
+
+
+def test_blocking_keys_phonetic_family(spark):
+    from deezymatch_spark.operators import blocking_keys
+
+    df = spark.createDataFrame([(1, "robert rupert")], "id long, k string")
+    keys = {
+        r.block_key
+        for r in blocking_keys(
+            df, "id", "k", use_minhash=False, use_words=False, use_phonetic=True
+        ).collect()
+        if r.block_key.startswith("p:")
+    }
+    assert keys == {"p:R163"}  # robert and rupert collide phonetically
