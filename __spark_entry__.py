@@ -688,6 +688,21 @@ def q_jaro_winkler_pairs(spark, sf):
     adjusted = fs_tf_adjust(
         scored, "token", F.col("a.w"), term_frequencies(d, "w")
     )
+    # r4: TF-IDF cosine comparator (operators/comparators.py) over the
+    # same adjacent pairs — graded in its exact-integer 'raw' scheme
+    # (cos2_micro; the float ln-idf scheme stays pytest-only, same
+    # libm policy as the fs log2 weights)
+    from deezymatch_spark.operators import tfidf_cosine_pairs
+
+    recs = _docs_norm(spark, sf).select(
+        F.col("doc_id").alias("id"), F.col("t").alias("text")
+    )
+    pair_ids = pairs.select(
+        F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+    )
+    tc = tfidf_cosine_pairs(recs, pair_ids, scheme="raw").select(
+        "id1", "id2", "cos2_micro"
+    )
     return adjusted.select(
         F.col("a.doc_id").alias("id1"),
         F.col("b.doc_id").alias("id2"),
@@ -698,7 +713,7 @@ def q_jaro_winkler_pairs(spark, sf):
         F.col("gamma_len").cast("long").alias("gamma_len"),
         "match_weight_micro",
         "tf_token_ratio_micro",
-    )
+    ).join(tc, ["id1", "id2"])
 
 
 def _jw_fs_oracle_sql() -> str:
@@ -735,8 +750,34 @@ def _jw_fs_oracle_sql() -> str:
                from d a join d b on b.doc_id = a.doc_id + 1),
         tf as (select w as tf_value, cast(count(*) as bigint) as tf_count
                from d where w is not null group by w),
-        tot as (select cast(sum(tf_count) as bigint) as tf_total from tf)
-        select id1, id2,
+        tot as (select cast(sum(tf_count) as bigint) as tf_total from tf),
+        -- tfidf cosine, exact raw-idf scheme (comparators.py docstring)
+        toks as (select doc_id,
+                   unnest(list_filter(string_split_regex(lower(trim(text)),
+                     '{_D_WORD_RE}'), x -> x != '')) as token
+                 from documents),
+        tf2 as (select doc_id, token, cast(count(*) as bigint) as tfreq
+                from toks group by 1, 2),
+        dft as (select token, cast(count(*) as bigint) as dfc from tf2 group by 1),
+        wt as (select doc_id, token, tfreq * (1000000 // dfc) as wgt
+               from tf2 join dft using (token)),
+        nrm as (select doc_id, cast(sum(wgt * wgt) as bigint) as nn2
+                from wt group by 1),
+        dots as (select wa.doc_id as id1, wb.doc_id as id2,
+                        cast(sum(wa.wgt * wb.wgt) as bigint) as dot
+                 from wt wa join wt wb
+                   on wb.doc_id = wa.doc_id + 1 and wb.token = wa.token
+                 group by 1, 2),
+        tcos as (select cv.id1, cv.id2,
+                   cast(case when na.nn2 is null or nb.nn2 is null then -1
+                        else ((coalesce(dot, 0) * 1000) // na.nn2)
+                           * ((coalesce(dot, 0) * 1000) // nb.nn2)
+                        end as bigint) as cos2_micro
+                 from cv
+                 left join dots on dots.id1 = cv.id1 and dots.id2 = cv.id2
+                 left join nrm na on na.doc_id = cv.id1
+                 left join nrm nb on nb.doc_id = cv.id2)
+        select cv.id1, cv.id2,
           round(jaro_winkler_similarity(pa, pb), 6) as jw,
           levenshtein(pa, pb) as lev,
           cast(gamma_prefix as bigint) as gamma_prefix,
@@ -747,9 +788,11 @@ def _jw_fs_oracle_sql() -> str:
              + {case("gamma_len", w["len"])} as bigint) as match_weight_micro,
           cast(case when gamma_token = 2 and tf.tf_count is not null
                then (tot.tf_total * 1000000) // tf.tf_count
-               else -1 end as bigint) as tf_token_ratio_micro
+               else -1 end as bigint) as tf_token_ratio_micro,
+          tcos.cos2_micro
         from cv
         left join tf on cv.gamma_token = 2 and cv.wa = tf.tf_value
+        join tcos on tcos.id1 = cv.id1 and tcos.id2 = cv.id2
         cross join tot"""
 
 

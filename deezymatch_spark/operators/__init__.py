@@ -59,6 +59,7 @@ from .metrics import (
     mean_average_precision,
     pairwise_cluster_metrics,
 )
+from .comparators import tfidf_cosine_pairs, tfidf_token_weights
 from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
 from .snm import sorted_neighborhood_pairs
@@ -100,6 +101,7 @@ __all__ = [
     "fs_score", "fs_tf_adjust", "seed_fs_params", "seed_fs_weights",
     "term_frequencies",
     "meta_block_weights", "meta_blocked_pairs",
+    "tfidf_cosine_pairs", "tfidf_token_weights",
     "sorted_neighborhood_pairs",
     "candidate_ranker", "validate_ranker_args",
     "assign_clusters", "golden_records",
