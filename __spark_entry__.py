@@ -287,9 +287,10 @@ def q_block_sizes(spark, sf):
         F.lit(-1).cast("long").alias("cbs"),
         F.lit(-1).cast("long").alias("w"),
     )
-    meta = meta_blocked_pairs(
+    meta_pairs = meta_blocked_pairs(
         keys, scheme="js", max_block_size=100, id_col="doc_id"
-    ).select(
+    ).localCheckpoint(eager=False)
+    meta = meta_pairs.select(
         F.lit("meta").alias("kind"),
         F.lit("").alias("key"),
         "id1",
@@ -297,7 +298,20 @@ def q_block_sizes(spark, sf):
         "cbs",
         F.col("weight_micro").alias("w"),
     )
-    return sizes.unionByName(snm).unionByName(meta)
+    # r4: mutual-best one-to-one assignment (operators/linkage.py) over
+    # the WEP-pruned weighted pairs — integer scores, so the argmax is
+    # engine-exact
+    from deezymatch_spark.operators import mutual_best_matches
+
+    mbest = mutual_best_matches(meta_pairs, "weight_micro").select(
+        F.lit("mbest").alias("kind"),
+        F.lit("").alias("key"),
+        "id1",
+        "id2",
+        F.lit(-1).cast("long").alias("cbs"),
+        F.col("weight_micro").alias("w"),
+    )
+    return sizes.unionByName(snm).unionByName(meta).unionByName(mbest)
 
 
 def q_minhash_signature(spark, sf):
@@ -915,14 +929,21 @@ def q_url_dedup(spark, sf):
     q_canonical_urls / q_url_dup_groups (green r1-r3) to fit the
     50-query grading window. The group side is duplicate-groups-only
     (Zipf-small), so AQE broadcasts the join at corpus scale."""
+    from deezymatch_spark.operators import blocked_domains
+
     canon = q_canonical_urls(spark, sf)
     groups = q_url_dup_groups(spark, sf)
-    return canon.join(groups, "canon_url", "left").select(
+    joined = canon.join(groups, "canon_url", "left").select(
         "doc_id",
         "url",
         "canon_url",
         F.coalesce("n_dups", F.lit(1)).cast("long").alias("n_dups"),
         F.coalesce("keep_id", F.col("doc_id")).alias("keep_id"),
+    )
+    # r4: UT1-style domain blocklist columns (operators/domains.py) —
+    # label-boundary suffix matching in literal-list mode (pure codegen)
+    return blocked_domains(
+        joined, "url", ["site3.example.com", "site17.example.com"]
     )
 
 
@@ -1939,7 +1960,19 @@ def oracle_sql() -> dict[str, str]:
                    from p
                    join deg da on da.doc_id = p.id1
                    join deg db on db.doc_id = p.id2),
-            thr as (select cast(sum(w) // count(*) as bigint) as t from pw)
+            thr as (select cast(sum(w) // count(*) as bigint) as t from pw),
+            mpw as (select id1, id2, cbs, w from pw, thr where w >= t),
+            -- mutual best over the pruned pairs: max weight per node,
+            -- smallest partner among ties, kept iff symmetric
+            sym as (select id1 as a, id2 as b, w from mpw
+                    union all
+                    select id2 as a, id1 as b, w from mpw),
+            mxw as (select a, max(w) as w from sym group by 1),
+            bst as (select sym.a, min(b) as best_b
+                    from sym join mxw using (a, w) group by sym.a),
+            mb as (select mpw.id1, mpw.id2, mpw.w from mpw
+                   join bst ba on ba.a = mpw.id1 and ba.best_b = mpw.id2
+                   join bst bb on bb.a = mpw.id2 and bb.best_b = mpw.id1)
             select 'size' as kind, block_key as key,
                    cast(-1 as bigint) as id1, cast(-1 as bigint) as id2,
                    cast(-1 as bigint) as cbs, cast(n as bigint) as w
@@ -1948,7 +1981,9 @@ def oracle_sql() -> dict[str, str]:
             select 'snm', '', a.doc_id, b.doc_id, -1, -1
             from r a join r b on b.r - a.r between 1 and 3
             union all
-            select 'meta', '', id1, id2, cbs, w from pw, thr where w >= t""",
+            select 'meta', '', id1, id2, cbs, w from mpw
+            union all
+            select 'mbest', '', id1, id2, -1, w from mb""",
         "minhash_signature": f"""
             with d as (select doc_id, list_distinct({g4}) as grams
                        from {norm_docs} where length(t) >= 4)
@@ -2834,13 +2869,29 @@ def oracle_sql() -> dict[str, str]:
         f"from L join Q using (doc_id) join E using (doc_id) join G using (doc_id)\n"
         f"       join C using (doc_id)"
     )
+    # domain blocklist twin (operators/domains.py:url_host/host_suffixes):
+    # host = lowercased, scheme/port stripped, leading www. dropped;
+    # blocked ⇔ any dot-suffix of the host is in the literal list
+    host_sql = (
+        "regexp_replace(lower(regexp_extract(regexp_replace(trim(url), "
+        "'^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''), '^([^/?#:]*)', 1)), "
+        "'^(www\\.)+', '')"
+    )
     o["url_dedup"] = (
         f"with c as ({o.pop('canonical_urls')}),\n"
-        f"     g as ({o.pop('url_dup_groups')})\n"
-        f"select c.doc_id, c.url, c.canon_url,\n"
-        f"       cast(coalesce(g.n_dups, 1) as bigint) as n_dups,\n"
-        f"       coalesce(g.keep_id, c.doc_id) as keep_id\n"
-        f"from c left join g using (canon_url)"
+        f"     g as ({o.pop('url_dup_groups')}),\n"
+        f"     j as (select c.doc_id, c.url, c.canon_url,\n"
+        f"             cast(coalesce(g.n_dups, 1) as bigint) as n_dups,\n"
+        f"             coalesce(g.keep_id, c.doc_id) as keep_id,\n"
+        f"             {host_sql} as host\n"
+        f"           from c left join g using (canon_url))\n"
+        f"select doc_id, url, canon_url, n_dups, keep_id, host,\n"
+        f"  cast(case when len(list_intersect(\n"
+        f"    list_transform(generate_series(1, len(string_split(host, '.'))),\n"
+        f"      i -> list_aggregate(string_split(host, '.')[i:], 'string_agg', '.')),\n"
+        f"    ['site3.example.com', 'site17.example.com'])) > 0\n"
+        f"    then 1 else 0 end as bigint) as blocked\n"
+        f"from j"
     )
     # token-mix constituent: rate = literal micros per lang (0 = drop);
     # copies = rate // 1e6 + (md5-bucket < rate % 1e6), rows exploded

@@ -60,6 +60,8 @@ from .metrics import (
     pairwise_cluster_metrics,
 )
 from .comparators import tfidf_cosine_pairs, tfidf_token_weights
+from .domains import blocked_domains, domain_filter, host_suffixes, url_host
+from .linkage import mutual_best_matches
 from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
 from .snm import sorted_neighborhood_pairs
@@ -102,6 +104,8 @@ __all__ = [
     "term_frequencies",
     "meta_block_weights", "meta_blocked_pairs",
     "tfidf_cosine_pairs", "tfidf_token_weights",
+    "blocked_domains", "domain_filter", "host_suffixes", "url_host",
+    "mutual_best_matches",
     "sorted_neighborhood_pairs",
     "candidate_ranker", "validate_ranker_args",
     "assign_clusters", "golden_records",
