@@ -9,6 +9,10 @@ stage shrinks the next stage's input:
                         mixing (--sample-fraction [--sample-strata-col
                         --sample-rates]); first because it shrinks
                         every later stage
+  0b. domain blocklist — UT1-style URL curation: drop docs whose host
+                        hits a blocked domain at a label boundary
+                        (--blocklist-domains inline / --blocklist-file
+                        for million-domain lists; needs --url-col)
   1. heuristic gates  — Gopher rule-set document filter (--gopher,
                         Rae et al. 2021 A1.1), then C4 line cleaning +
                         page gates (--c4, Raffel et al. 2020 2.2);
@@ -103,6 +107,14 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--url-col", help="enable URL dedup on this column")
     ap.add_argument("--ts-col", help="crawl timestamp for URL snapshot keep")
+    ap.add_argument("--blocklist-domains", nargs="*", default=None,
+                    help="UT1-style domain blocklist (inline, literal-list "
+                         "mode: zero-join arrays_overlap); label-boundary "
+                         "suffix match on --url-col's host")
+    ap.add_argument("--blocklist-file", default=None,
+                    help="text file of blocked domains, one per line "
+                         "(table mode — for million-domain lists); "
+                         "mutually exclusive with --blocklist-domains")
     ap.add_argument("--sentence-min-count", type=int, default=0,
                     help="strip sentences duplicated >= N times corpus-wide "
                          "(0 = skip the sentence stage)")
@@ -298,6 +310,12 @@ def main() -> None:
             ap.error("--num-bits must be divisible by --bands")
         if args.bands <= args.hamming_max:
             ap.error("--bands must exceed --hamming-max (pigeonhole recall)")
+    if args.blocklist_domains and args.blocklist_file:
+        ap.error("--blocklist-domains and --blocklist-file are mutually "
+                 "exclusive (inline literal mode vs table mode)")
+    if (args.blocklist_domains or args.blocklist_file) and not args.url_col:
+        ap.error("the domain blocklist stage needs --url-col (it matches "
+                 "on the URL's host)")
     if args.substring_ngram < 0:
         ap.error("--substring-ngram must be >= 0")
     if args.substring_ngram > 0 and args.substring_min_count < 2:
@@ -592,6 +610,25 @@ def main() -> None:
                 df, args.id_col, args.sample_fraction, salt=args.sample_salt
             )
         df = checkpoint("after_sample", df)
+
+    # domain blocklist right after sampling (RefinedWeb/FineWeb stage
+    # order: URL filtering before content heuristics): literal-list
+    # mode is a zero-join pure expression; table mode resolves on the
+    # distinct-host side table (operators/domains.py)
+    if args.blocklist_domains or args.blocklist_file:
+        from deezymatch_spark.operators import domain_filter
+
+        if args.blocklist_file:
+            bl = (
+                spark.read.text(args.blocklist_file)
+                .select(F.trim(F.col("value")).alias("domain"))
+                .where(F.col("domain") != "")
+            )
+        else:
+            bl = args.blocklist_domains
+        df = checkpoint(
+            "after_domain_blocklist", domain_filter(df, args.url_col, bl)
+        )
 
     # Gopher rule-set gate right after sampling: a shuffle-free pure
     # expression, so it is the second-cheapest stage and shrinks every

@@ -770,3 +770,68 @@ def test_qlr_stage_gates(spark):
         .collect()
     )
     assert kept == [1, 2]
+
+
+def test_blocklist_stage_spark_submit(spark, tmp_path):
+    """--blocklist-file drops docs whose URL host hits a blocked domain
+    at a label boundary (table mode), surfacing after_domain_blocklist."""
+    rows = [
+        (0, "keep me", "https://www.good.org/a"),
+        (1, "subdomain hit", "https://x.bad.example.com/page"),
+        (2, "exact hit", "http://bad.example.com:80/q?z=1"),
+        (3, "label boundary", "https://notbad.example.commerce.io/"),
+        (4, "no url", None),
+    ]
+    inp = str(tmp_path / "docs_bl")
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(inp)
+    blf = tmp_path / "blocked.txt"
+    blf.write_text("bad.example.com\n\nsomething-else.net\n")
+    zip_base = str(tmp_path / "deezymatch_spark")
+    shutil.make_archive(zip_base, "zip", root_dir=REPO, base_dir="deezymatch_spark")
+    outd = str(tmp_path / "bl_out")
+    spark_submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_base + ".zip",
+            os.path.join(REPO, "jobs", "corpus_dedup.py"),
+            "--input", inp, "--output", outd,
+            "--skip-near-dedup", "--url-col", "url",
+            "--blocklist-file", str(blf),
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    line = next(l for l in res.stdout.splitlines() if l.startswith('{"job"'))
+    metrics = json.loads(line)
+    assert metrics["input_rows"] == 5
+    assert metrics["after_domain_blocklist"] == 3
+    kept = {r.doc_id for r in spark.read.parquet(outd).collect()}
+    assert kept == {0, 3, 4}
+
+
+def test_blocklist_flag_validation(tmp_path):
+    """Blocklist flags are validated before any Spark work."""
+    base = [
+        sys.executable, os.path.join(REPO, "jobs", "corpus_dedup.py"),
+        "--input", "x", "--output", "y",
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r1 = subprocess.run(
+        base + ["--blocklist-domains", "a.com"],          # missing --url-col
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r1.returncode != 0 and "--url-col" in r1.stderr
+    r2 = subprocess.run(
+        base + ["--url-col", "url", "--blocklist-domains", "a.com",
+                "--blocklist-file", "f.txt"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert r2.returncode != 0 and "mutually" in r2.stderr
