@@ -214,6 +214,7 @@ def er_stages(
     conf_threshold: float = 0.5,
     use_minhash: bool = False,
     use_anchors: bool = False,
+    use_phonetic: bool = False,
     scorer: str = "jw",
     fs_threshold_bits: float = 2.0,
     fs_fit_fraction: float = 1.0,
@@ -246,6 +247,15 @@ def er_stages(
     zero common keys) but that are co-cited with the same anchor
     string. ~2 extra key rows/page; OFF by default for the synthetic
     benchmark whose titles make gram recall 0.9998+ already.
+
+    ``use_phonetic``: add the ``p:<soundex>`` phonetic key family over
+    the title's ASCII-alpha tokens (functions/phonetic.py). Pure recall
+    path like anchors — phonetic-blocked pairs still pass the title
+    length/Levenshtein/JW gates; it recovers sound-alike respellings
+    that share no gram or word key ("smith"/"smyth": zero common
+    3-grams, different word keys, lev=1). ~1 extra key row per title
+    token; OFF by default for the synthetic benchmark (gram recall is
+    already 0.9998+ there).
 
     ``scorer``: ``"jw"`` (default) thresholds on the Jaro-Winkler
     Arrow UDF; ``"fs"`` swaps in the Fellegi-Sunter model
@@ -312,10 +322,29 @@ def er_stages(
     # shuffle (see scored_candidate_pairs: the unfused variant cost 3
     # full-size shuffles of the 40M-row blocked pair set). The Python
     # JW UDF then only sees the ~2% of pairs that survive the gates.
+    extra_keys = anchor_keys
+    if use_phonetic:
+        from .functions.phonetic import soundex_token_keys
+
+        phonetic_keys = docs.select(
+            "id",
+            F.explode(soundex_token_keys(F.col("title_norm"))).alias("_sx"),
+            "title_norm",
+        ).select(
+            "id",
+            F.concat(F.lit("p:"), F.col("_sx")).alias("block_key"),
+            F.col("title_norm").alias("_k"),
+        )
+        extra_keys = (
+            phonetic_keys
+            if extra_keys is None
+            else extra_keys.unionByName(phonetic_keys)
+        )
+
     scored_raw = scored_candidate_pairs(
         docs, "id", "title_norm",
         lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
-        use_minhash=use_minhash, extra_keys=anchor_keys,
+        use_minhash=use_minhash, extra_keys=extra_keys,
     )
     if scorer == "fs":
         from .operators.fs_linkage import (

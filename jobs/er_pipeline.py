@@ -34,6 +34,9 @@ def main() -> None:
                     help="add m: MinHash-band keys (long-text keys)")
     ap.add_argument("--use-anchors", action="store_true",
                     help="add a: anchor-text keys (short/corrupted titles)")
+    ap.add_argument("--use-phonetic", action="store_true",
+                    help="add p: soundex keys over the title tokens "
+                         "(sound-alike respellings sharing no gram/word key)")
     ap.add_argument("--scorer", choices=["jw", "fs"], default="jw",
                     help="pair scorer: jw = Jaro-Winkler Arrow UDF; fs = "
                          "Fellegi-Sunter m/u model fit unsupervised by EM "
@@ -90,6 +93,7 @@ def main() -> None:
             max_block_size=args.max_block_size,
             use_minhash=args.use_minhash,
             use_anchors=args.use_anchors,
+            use_phonetic=args.use_phonetic,
             scorer=args.scorer,
             fs_threshold_bits=args.fs_threshold_bits,
             fs_fit_fraction=args.fs_fit_fraction,

@@ -74,3 +74,21 @@ def test_anchor_keys_do_not_change_long_title_results(spark):
     assert _matches(spark, rows, use_anchors=False) == _matches(
         spark, rows, use_anchors=True
     )
+
+
+def test_phonetic_keys_recover_soundalike_pair(spark):
+    # "Smith" vs "Smyth": lev=1, JW≈0.92 — a TRUE pair, but the titles
+    # share no 3-gram (smi,mit,ith vs smy,myt,yth) and no word key, so
+    # gram/word blocking cannot see it; soundex folds both to S530.
+    # "Sandy" is ALSO S530 — it collides phonetically but dies at the
+    # lev gate (lev=4) — phonetic keys add recall, never precision loss.
+    rows = [
+        _page("https://a.example.com/1", "Smith", []),
+        _page("https://b.example.com/2", "Smyth", []),
+        _page("https://c.example.com/3", "Sandy", []),
+        _page("https://d.example.com/4", "Unrelated Title Page", []),
+    ]
+    without = _matches(spark, rows, use_phonetic=False)
+    with_phonetic = _matches(spark, rows, use_phonetic=True)
+    assert without == set()
+    assert len(with_phonetic) == 1
