@@ -157,3 +157,25 @@ def simhash(hashes: Column, num_bits: int = 32) -> Column:
         count_b = F.aggregate(hashes, zero, merge_for(F.lit(1 << b).cast("long")))
         out = out + F.when(count_b > 0, F.lit(1 << b).cast("long")).otherwise(zero)
     return out
+
+
+def lsh_detection_curve(bands: int, rows_per_band: int, n_points: int = 21):
+    """→ list of (similarity, detect_probability): the banded-MinHash
+    S-curve ``p(s) = 1 − (1 − s^r)^b`` (Leskovec/Rajaraman/Ullman ch.3)
+    at ``n_points`` evenly spaced similarities — the table you read
+    before picking (bands, rows) for a near-dup pass. Driver-side pure
+    math (no Spark); the half-detection threshold is approximately
+    ``(1/b)^(1/r)``."""
+    if bands < 1 or rows_per_band < 1 or n_points < 2:
+        raise ValueError("lsh_detection_curve: bands, rows >= 1; points >= 2")
+    out = []
+    for i in range(n_points):
+        s = i / (n_points - 1)
+        out.append((s, 1.0 - (1.0 - s**rows_per_band) ** bands))
+    return out
+
+
+def lsh_threshold(bands: int, rows_per_band: int) -> float:
+    """Approximate similarity at which band-LSH detection crosses ~50%:
+    ``(1/b)^(1/r)``."""
+    return (1.0 / bands) ** (1.0 / rows_per_band)

@@ -439,3 +439,25 @@ def candidate_pairs(
 
     out = out.distinct()
     return _attach_persisted(out, persisted_handle) if persisted_handle is not None else out
+
+
+def estimated_block_pairs(keys: DataFrame, *, max_block_size: int | None = None) -> DataFrame:
+    """Pre-flight cost estimate for a blocking scheme → 1-row
+    DataFrame[n_blocks, n_key_rows, est_pairs] where ``est_pairs`` =
+    Σ C(size, 2) over blocks (after the optional cap) — the exact
+    number of within-block comparisons the pair join would emit before
+    dedup. Run this BEFORE the join to choose ``max_block_size`` /
+    salting / ``spark.sql.shuffle.partitions``: it costs one
+    map-combined aggregation over the key rows instead of the join
+    itself (the estimate that saves the 100-TB mistake). Exact bigint
+    (C(s,2) = s(s-1) div 2 — always integral)."""
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("_bs"))
+    if max_block_size is not None:
+        sizes = sizes.where(F.col("_bs") <= int(max_block_size))
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.coalesce(F.sum("_bs"), F.lit(0)).cast("long").alias("n_key_rows"),
+        F.coalesce(F.sum(F.expr("(_bs * (_bs - 1)) div 2")), F.lit(0))
+        .cast("long")
+        .alias("est_pairs"),
+    )

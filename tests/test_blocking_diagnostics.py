@@ -1,0 +1,84 @@
+"""Pre-flight diagnostics: estimated_block_pairs must equal the exact
+within-block comparison count the pair join would emit, and the LSH
+S-curve helpers must match the closed form p(s) = 1 - (1 - s^r)^b."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deezymatch_spark.functions.hashing import lsh_detection_curve, lsh_threshold
+from deezymatch_spark.operators.blocking import blocking_keys, estimated_block_pairs
+
+
+def _keys_fixture(spark):
+    # block sizes by shared 6-char prefix: "aaaaaa" x4, "bbbbbb" x3,
+    # "cccccc" x2, plus 5 singletons -> C(4,2)+C(3,2)+C(2,2) = 6+3+1 = 10
+    rows = [(i, f"aaaaaa tail {i}") for i in range(4)]
+    rows += [(10 + i, f"bbbbbb tail {i}") for i in range(3)]
+    rows += [(20 + i, f"cccccc tail {i}") for i in range(2)]
+    rows += [(30 + i, f"solo{i:02d} tail") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    return blocking_keys(df, "id", "key")
+
+
+def test_estimated_block_pairs_exact(spark):
+    keys = _keys_fixture(spark)
+    est = estimated_block_pairs(keys).collect()[0]
+    sizes = {r.block_key: r.n for r in keys.groupBy("block_key").agg(F.count("*").alias("n")).collect()}
+    want_pairs = sum(n * (n - 1) // 2 for n in sizes.values())
+    assert est.n_blocks == len(sizes)
+    assert est.n_key_rows == sum(sizes.values())
+    assert est.est_pairs == want_pairs
+    # and it matches the join the estimate stands in for
+    joined = (
+        keys.alias("a")
+        .join(keys.alias("b"), "block_key")
+        .where(F.col("a.id") < F.col("b.id"))
+        .count()
+    )
+    assert est.est_pairs == joined
+
+
+def test_estimated_block_pairs_cap(spark):
+    keys = _keys_fixture(spark)
+    cap = 3
+    est = estimated_block_pairs(keys, max_block_size=cap).collect()[0]
+    # over-cap blocks are excluded entirely (rows AND pairs)
+    sizes = [r.n for r in keys.groupBy("block_key").agg(F.count("*").alias("n")).collect()]
+    kept = [n for n in sizes if n <= cap]
+    assert len(kept) < len(sizes)  # the fixture really has an over-cap block
+    assert est.n_blocks == len(kept)
+    assert est.n_key_rows == sum(kept)
+    assert est.est_pairs == sum(n * (n - 1) // 2 for n in kept)
+
+
+def test_estimated_block_pairs_empty(spark):
+    empty = spark.createDataFrame([], "block_key string, id long")
+    est = estimated_block_pairs(empty).collect()[0]
+    assert (est.n_blocks, est.n_key_rows, est.est_pairs) == (0, 0, 0)
+
+
+def test_lsh_curve_shape():
+    b, r = 20, 5
+    curve = lsh_detection_curve(b, r, n_points=11)
+    assert curve[0] == (0.0, 0.0)
+    s_last, p_last = curve[-1]
+    assert s_last == 1.0 and p_last == pytest.approx(1.0)
+    probs = [p for _, p in curve]
+    assert all(p2 >= p1 for p1, p2 in zip(probs, probs[1:]))  # monotone
+    for s, p in curve:
+        assert p == pytest.approx(1.0 - (1.0 - s**r) ** b)
+
+
+def test_lsh_threshold_half_detection():
+    b, r = 20, 5
+    t = lsh_threshold(b, r)
+    assert t == pytest.approx((1.0 / b) ** (1.0 / r))
+    p_at_t = 1.0 - (1.0 - t**r) ** b
+    assert 0.4 < p_at_t < 0.75  # (1/b)^(1/r) is the ~half-detection knee
+
+
+def test_lsh_curve_validation():
+    with pytest.raises(ValueError):
+        lsh_detection_curve(0, 5)
+    with pytest.raises(ValueError):
+        lsh_detection_curve(4, 4, n_points=1)
