@@ -28,8 +28,10 @@ from ..functions.ngrams import distinct_char_ngrams, prefix_ngram_keys, word_tok
 
 __all__ = [
     "blocking_keys",
+    "blocking_preflight",
     "block_join",
     "candidate_pairs",
+    "estimated_block_pairs",
     "scored_candidate_pairs",
     "release_persisted",
 ]
@@ -439,6 +441,57 @@ def candidate_pairs(
 
     out = out.distinct()
     return _attach_persisted(out, persisted_handle) if persisted_handle is not None else out
+
+
+def blocking_preflight(keys: DataFrame, *, max_block_size: int | None = None) -> DataFrame:
+    """Per-key-family pre-flight cost report for a blocking scheme →
+    DataFrame[family, n_blocks, n_key_rows, max_block, est_pairs
+    (+ over_cap_blocks, est_pairs_capped when ``max_block_size`` is
+    given)], one row per family prefix (``g:`` grams, ``w:`` words,
+    ``m:`` MinHash bands, ``p:`` phonetic, ``a:`` anchors) plus a
+    ``TOTAL`` rollup row.
+
+    ``est_pairs`` = Σ C(size, 2) is the number of within-block
+    comparisons the pair join feeds the dedup/gates — the join's true
+    cost, which IS additive across families (the later ``distinct``
+    dedup is not, and is not estimated here). Costs one map-combined
+    aggregation over the key rows; run it before committing a 100-TB
+    join to see which family explodes and what ``max_block_size``
+    buys. Exact bigint throughout."""
+    pairs_expr = F.expr("(_bs * (_bs - 1)) div 2")
+    sizes = (
+        keys.withColumn(
+            "family",
+            F.when(
+                F.col("block_key").contains(":"),
+                F.concat(F.substring_index("block_key", ":", 1), F.lit(":")),
+            ).otherwise(F.lit("(none)")),
+        )
+        .groupBy("family", "block_key")
+        .agg(F.count("*").alias("_bs"))
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_blocks"),
+        F.coalesce(F.sum("_bs"), F.lit(0)).cast("long").alias("n_key_rows"),
+        F.coalesce(F.max("_bs"), F.lit(0)).cast("long").alias("max_block"),
+        F.coalesce(F.sum(pairs_expr), F.lit(0)).cast("long").alias("est_pairs"),
+    ]
+    if max_block_size is not None:
+        keep = F.col("_bs") <= int(max_block_size)
+        aggs += [
+            F.coalesce(F.sum(F.when(~keep, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("over_cap_blocks"),
+            F.coalesce(F.sum(F.when(keep, pairs_expr)), F.lit(0))
+            .cast("long")
+            .alias("est_pairs_capped"),
+        ]
+    return (
+        sizes.rollup("family")
+        .agg(*aggs)
+        .withColumn("family", F.coalesce("family", F.lit("TOTAL")))
+        .orderBy("family")
+    )
 
 
 def estimated_block_pairs(keys: DataFrame, *, max_block_size: int | None = None) -> DataFrame:

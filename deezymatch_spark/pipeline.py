@@ -203,6 +203,87 @@ def _materialize(
     return _write_stage(spark, df, work_dir, _stage_path(work_dir, name), name)
 
 
+def _anchor_key_rows(docs: DataFrame) -> DataFrame:
+    """``a:<normalized anchor text>`` key rows [id, block_key, _k] from
+    a docs frame carrying an ``anchors`` array column (payload ``_k`` =
+    the page's OWN normalized title, so fused-join gates compare
+    titles). Shared by er_stages and preflight_report so the pre-flight
+    estimate prices exactly the keys the pipeline will join."""
+    return (
+        docs.select("id", F.explode("anchors").alias("_a"), "title_norm")
+        .withColumn("_a", normalize_udf(F.col("_a")))
+        .where(F.length("_a") > 0)
+        .select(
+            "id",
+            F.concat(F.lit("a:"), F.col("_a")).alias("block_key"),
+            F.col("title_norm").alias("_k"),
+        )
+    )
+
+
+def _phonetic_key_rows(docs: DataFrame) -> DataFrame:
+    """``p:<soundex>`` key rows [id, block_key, _k] over the normalized
+    title's ASCII-alpha tokens. Shared by er_stages and
+    preflight_report (same reason as _anchor_key_rows)."""
+    from .functions.phonetic import soundex_token_keys
+
+    return docs.select(
+        "id",
+        F.explode(soundex_token_keys(F.col("title_norm"))).alias("_sx"),
+        "title_norm",
+    ).select(
+        "id",
+        F.concat(F.lit("p:"), F.col("_sx")).alias("block_key"),
+        F.col("title_norm").alias("_k"),
+    )
+
+
+def preflight_report(
+    pages: DataFrame,
+    *,
+    ngram: int = 3,
+    max_block_size: int = 100,
+    use_minhash: bool = False,
+    use_anchors: bool = False,
+    use_phonetic: bool = False,
+) -> DataFrame:
+    """Pre-flight cost report for run_er_pipeline's EXACT blocking plan
+    → blocking_preflight's per-family + TOTAL rollup
+    (family, n_blocks, n_key_rows, max_block, est_pairs,
+    over_cap_blocks, est_pairs_capped).
+
+    Builds the same S0 extract and the same key families (grams, words,
+    optional m:/a:/p:) the pipeline would join, then prices the join
+    with ONE map-combined aggregation instead of running it —
+    ``est_pairs_capped`` on the TOTAL row is the number of comparisons
+    the fused block+score join will feed its gates at this
+    ``max_block_size``, and ``over_cap_blocks`` per family shows what
+    the hot-key cap discards. At 100 TB this is the step that chooses
+    ``max_block_size`` and ``spark.sql.shuffle.partitions`` before
+    paying for the join (jobs/er_pipeline.py --preflight)."""
+    from .operators.blocking import blocking_keys, blocking_preflight
+
+    s0_cols = [
+        F.xxhash64("url").alias("id"),
+        extract_title(F.col("html")).alias("title"),
+    ]
+    if use_anchors:
+        s0_cols.append(
+            F.array_distinct(extract_anchor_texts(F.col("html"))).alias("anchors")
+        )
+    docs = pages.select(*s0_cols).withColumn(
+        "title_norm", normalize_udf(F.col("title"))
+    )
+    keys = blocking_keys(
+        docs, "id", "title_norm", ngram=ngram, use_minhash=use_minhash
+    ).select("id", "block_key")
+    if use_anchors:
+        keys = keys.unionByName(_anchor_key_rows(docs).select("id", "block_key"))
+    if use_phonetic:
+        keys = keys.unionByName(_phonetic_key_rows(docs).select("id", "block_key"))
+    return blocking_preflight(keys, max_block_size=max_block_size)
+
+
 def er_stages(
     pages: DataFrame,
     *,
@@ -304,18 +385,7 @@ def er_stages(
 
     # optional a: anchor-text key family (payload = the page's OWN
     # normalized title, so the fused join's gates still compare titles)
-    anchor_keys = None
-    if use_anchors:
-        anchor_keys = (
-            docs.select("id", F.explode("anchors").alias("_a"), "title_norm")
-            .withColumn("_a", normalize_udf(F.col("_a")))
-            .where(F.length("_a") > 0)
-            .select(
-                "id",
-                F.concat(F.lit("a:"), F.col("_a")).alias("block_key"),
-                F.col("title_norm").alias("_k"),
-            )
-        )
+    anchor_keys = _anchor_key_rows(docs) if use_anchors else None
 
     # S1+S2 fused — blocking (salted, hot-key capped) + length gate in
     # the join condition + codegen Levenshtein gate BEFORE the dedup
@@ -324,17 +394,7 @@ def er_stages(
     # JW UDF then only sees the ~2% of pairs that survive the gates.
     extra_keys = anchor_keys
     if use_phonetic:
-        from .functions.phonetic import soundex_token_keys
-
-        phonetic_keys = docs.select(
-            "id",
-            F.explode(soundex_token_keys(F.col("title_norm"))).alias("_sx"),
-            "title_norm",
-        ).select(
-            "id",
-            F.concat(F.lit("p:"), F.col("_sx")).alias("block_key"),
-            F.col("title_norm").alias("_k"),
-        )
+        phonetic_keys = _phonetic_key_rows(docs)
         extra_keys = (
             phonetic_keys
             if extra_keys is None

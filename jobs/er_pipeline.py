@@ -47,6 +47,13 @@ def main() -> None:
                     help="fs: fit EM on this deterministic hash_sample "
                          "fraction of the candidate pairs (fit on a slice, "
                          "score everything)")
+    ap.add_argument("--preflight", action="store_true",
+                    help="price the blocking join instead of running the "
+                         "pipeline: write/print the per-key-family "
+                         "estimated-comparison report (one aggregation "
+                         "pass, no pair join) and exit — run this first "
+                         "on big inputs to choose --max-block-size and "
+                         "--shuffle-partitions")
     ap.add_argument("--incremental-state",
                     help="persistent ER state dir: fold the input into the "
                          "existing clustering (bootstraps on first run) "
@@ -68,6 +75,24 @@ def main() -> None:
     from deezymatch_spark.pipeline import incremental_er, run_er_pipeline
 
     pages = spark.read.parquet(args.input) if args.input else None
+    if args.preflight:
+        from deezymatch_spark.pipeline import preflight_report
+        from deezymatch_spark.sources.pages import generate_pages
+
+        if pages is None:
+            pages = generate_pages(spark, args.n_pages, with_truth=False)
+        report = preflight_report(
+            pages,
+            max_block_size=args.max_block_size,
+            use_minhash=args.use_minhash,
+            use_anchors=args.use_anchors,
+            use_phonetic=args.use_phonetic,
+        )
+        report.write.mode("overwrite").parquet(args.output)
+        spark.read.parquet(args.output).orderBy("family").show(truncate=False)
+        print(f"preflight report written to {args.output}")
+        spark.stop()
+        return
     if args.incremental_state:
         if pages is None:
             from deezymatch_spark.sources.pages import generate_pages

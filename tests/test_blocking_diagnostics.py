@@ -6,7 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from deezymatch_spark.functions.hashing import lsh_detection_curve, lsh_threshold
-from deezymatch_spark.operators.blocking import blocking_keys, estimated_block_pairs
+from deezymatch_spark.operators.blocking import (
+    blocking_keys,
+    blocking_preflight,
+    estimated_block_pairs,
+)
 
 
 def _keys_fixture(spark):
@@ -82,3 +86,52 @@ def test_lsh_curve_validation():
         lsh_detection_curve(0, 5)
     with pytest.raises(ValueError):
         lsh_detection_curve(4, 4, n_points=1)
+
+
+def test_blocking_preflight_rollup(spark):
+    keys = _keys_fixture(spark)
+    cap = 3
+    rows = {r.family: r for r in blocking_preflight(keys, max_block_size=cap).collect()}
+    assert "TOTAL" in rows
+    fams = [f for f in rows if f != "TOTAL"]
+    assert fams and all(f.endswith(":") for f in fams)
+    tot = rows["TOTAL"]
+    # join cost is additive across (disjoint-prefix) families
+    for col in ("n_blocks", "n_key_rows", "est_pairs", "over_cap_blocks", "est_pairs_capped"):
+        assert getattr(tot, col) == sum(getattr(rows[f], col) for f in fams), col
+    assert tot.est_pairs_capped <= tot.est_pairs
+    assert tot.over_cap_blocks >= 1  # the size-4 gram block is over cap
+    # capped total agrees with the single-number estimator
+    est = estimated_block_pairs(keys, max_block_size=cap).collect()[0]
+    assert tot.est_pairs_capped == est.est_pairs
+    assert tot.max_block == max(
+        r.n for r in keys.groupBy("block_key").agg(F.count("*").alias("n")).collect()
+    )
+
+
+def test_pipeline_preflight_prices_the_real_keys(spark):
+    from deezymatch_spark.pipeline import preflight_report, _phonetic_key_rows
+    from deezymatch_spark.sources.pages import generate_pages, extract_title
+    from deezymatch_spark.functions.udfs import normalize_udf
+
+    pages = generate_pages(spark, 300, with_truth=False)
+    cap = 50
+    rows = {
+        r.family: r
+        for r in preflight_report(
+            pages, max_block_size=cap, use_phonetic=True
+        ).collect()
+    }
+    assert set(rows) >= {"g:", "w:", "p:", "TOTAL"}
+    # independent recompute: same key build, python-side C(n,2) sum
+    docs = pages.select(
+        F.xxhash64("url").alias("id"), extract_title(F.col("html")).alias("title")
+    ).withColumn("title_norm", normalize_udf(F.col("title")))
+    keys = blocking_keys(docs, "id", "title_norm", use_minhash=False).select(
+        "id", "block_key"
+    )
+    keys = keys.unionByName(_phonetic_key_rows(docs).select("id", "block_key"))
+    sizes = [r.n for r in keys.groupBy("block_key").agg(F.count("*").alias("n")).collect()]
+    want = sum(n * (n - 1) // 2 for n in sizes if n <= cap)
+    assert rows["TOTAL"].est_pairs_capped == want
+    assert rows["TOTAL"].n_key_rows == len(keys.collect()) == sum(sizes)
