@@ -2,6 +2,7 @@
 
 from .blocking import block_join, blocking_keys, candidate_pairs
 from .cc import connected_components
+from .star import center_clusters, star_clusters
 from .dedup import (
     contaminated_docs,
     decontaminate,
@@ -78,7 +79,9 @@ from .split import train_val_test_split
 
 __all__ = [
     "block_join", "blocking_keys", "candidate_pairs",
+    "center_clusters",
     "connected_components",
+    "star_clusters",
     "embedding_dup_pairs", "exact_dedup", "exact_dup_groups",
     "minhash_delta_pairs", "minhash_dup_pairs", "near_dedup", "ngram_jaccard",
     "dedup_keep_best",

@@ -300,6 +300,7 @@ def er_stages(
     fs_threshold_bits: float = 2.0,
     fs_fit_fraction: float = 1.0,
     fs_iters: int = 30,
+    clustering: str = "cc",
     spark: SparkSession | None = None,
     work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
@@ -351,9 +352,24 @@ def er_stages(
     candidate pairs at build time (the fit aggregation). The scorer
     choice is part of the work-dir identity: resuming a ``jw`` work
     dir with ``scorer="fs"`` mixes stage schemas — use a fresh dir.
+
+    ``clustering``: S4 cluster formation over the match edges.
+    ``"cc"`` (default) = transitive closure (operators/cc.py, the
+    north-rule semantics); ``"center"`` / ``"star"`` = the
+    diameter-bounded alternatives (operators/star.py) — every member
+    is DIRECTLY adjacent to its cluster center, so one spurious match
+    edge can no longer chain two real entities together (the dominant
+    failure mode of closure on web-scale match graphs). Entity ids
+    remain deterministic (center's id). Like ``scorer``, the choice is
+    part of the work-dir identity: the s4 stage means different things
+    — use a fresh dir when switching.
     """
     if scorer not in ("jw", "fs"):
         raise ValueError(f"er_stages: scorer must be 'jw' or 'fs', got {scorer!r}")
+    if clustering not in ("cc", "center", "star"):
+        raise ValueError(
+            f"er_stages: clustering must be 'cc', 'center' or 'star', got {clustering!r}"
+        )
     if not 0.0 < fs_fit_fraction <= 1.0:
         raise ValueError("er_stages: fs_fit_fraction must be in (0, 1]")
     fs_cv_cache = None
@@ -517,10 +533,18 @@ def er_stages(
         spark, matches.select("id1", "id2", score_col), work_dir, "s3_matches"
     )
 
-    # S4 — transitive closure
-    comps = connected_components(
-        matches.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-    )
+    # S4 — cluster formation (closure by default; 1-hop center/star on
+    # request — see the ``clustering`` docstring)
+    match_edges = matches.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    if clustering == "cc":
+        comps = connected_components(match_edges)
+    else:
+        from .operators.star import center_clusters, star_clusters
+
+        fn = center_clusters if clustering == "center" else star_clusters
+        comps = fn(match_edges).select(
+            "node", F.col("cluster").alias("component")
+        )
     comps = _materialize(spark, comps, work_dir, "s4_components")
 
     clusters = docs.join(comps, docs.id == comps.node, "left").select(

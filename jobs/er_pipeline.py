@@ -47,6 +47,11 @@ def main() -> None:
                     help="fs: fit EM on this deterministic hash_sample "
                          "fraction of the candidate pairs (fit on a slice, "
                          "score everything)")
+    ap.add_argument("--clustering", choices=["cc", "center", "star"], default="cc",
+                    help="S4 cluster formation: cc = transitive closure; "
+                         "center/star = diameter-bounded 1-hop clusters "
+                         "(anti-chaining — a single bad match edge cannot "
+                         "merge two real entities)")
     ap.add_argument("--preflight", action="store_true",
                     help="price the blocking join instead of running the "
                          "pipeline: write/print the per-key-family "
@@ -62,6 +67,9 @@ def main() -> None:
     if args.incremental_state and args.scorer != "jw":
         ap.error("--scorer fs is batch-only; --incremental-state scores "
                  "deltas with the jw path")
+    if args.incremental_state and args.clustering != "cc":
+        ap.error("--clustering center/star is batch-only; the incremental "
+                 "state maintains a transitive-closure clustering")
 
     from pyspark.sql import SparkSession
 
@@ -122,6 +130,7 @@ def main() -> None:
             scorer=args.scorer,
             fs_threshold_bits=args.fs_threshold_bits,
             fs_fit_fraction=args.fs_fit_fraction,
+            clustering=args.clustering,
         )
     out.write.mode("overwrite").parquet(args.output)
     print(f"clusters written to {args.output}: {spark.read.parquet(args.output).count()} rows")
