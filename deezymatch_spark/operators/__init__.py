@@ -57,6 +57,7 @@ from .metrics import (
     blocking_quality,
     classification_metrics,
     cluster_diff,
+    cluster_graph_stats,
     mean_average_precision,
     pairwise_cluster_metrics,
 )
@@ -101,6 +102,7 @@ __all__ = [
     "shuffle_sequences",
     "fit_quality_lr", "score_quality_lr", "seed_quality_weights",
     "bcubed", "blocking_quality", "classification_metrics", "cluster_diff",
+    "cluster_graph_stats",
     "mean_average_precision", "pairwise_cluster_metrics",
     "comparison_vectors", "fs_fit", "fs_match_weights", "fs_pattern_counts",
     "fs_score", "fs_tf_adjust", "seed_fs_params", "seed_fs_weights",

@@ -28,6 +28,7 @@ __all__ = [
     "bcubed",
     "blocking_quality",
     "cluster_diff",
+    "cluster_graph_stats",
     "pairwise_cluster_metrics",
 ]
 
@@ -533,3 +534,105 @@ def cluster_diff(
         "n_new_clusters",
         status.alias("status"),
     )
+
+
+def cluster_graph_stats(
+    edges: DataFrame,
+    clusters: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    cluster: str = "cluster",
+) -> DataFrame:
+    """Per-cluster structural report over the match graph →
+    DataFrame[cluster, n_nodes, n_internal_edges, n_cut_edges,
+    density_micro, is_tree].
+
+    The triage step between closure and the diameter-bounded
+    clusterings (operators/star.py): a closure cluster whose internal
+    edge count is near the spanning-tree minimum (``is_tree``:
+    n_internal_edges == n_nodes - 1, n_nodes >= 3) or whose density is
+    low was glued by CHAINS — exactly the clusters one bad match edge
+    can have merged — while density ~1 means every member matched every
+    other. ``n_cut_edges`` counts this cluster's endpoints on
+    cross-cluster match edges (0 under closure by construction; under
+    center/star it measures what the 1-hop cut discarded).
+
+    ``density_micro`` = exact ``(n_internal_edges · 2 · 10⁶) div
+    (n_nodes · (n_nodes − 1))`` with a ``-1`` sentinel for singletons
+    (no pair to be dense over), same integer discipline as the other
+    graded metrics in this module. Cost: edges join the (node-keyed)
+    assignment twice + two map-combined aggregations; nothing
+    quadratic, nothing driver-side — scale-safe at 10^12 edges.
+    Duplicate/directed edges are canonicalized first; nodes missing
+    from ``clusters`` raise loudly (a silent drop would understate
+    density).
+    """
+    from .cc import _canonical
+
+    e = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    asg = clusters.select(F.col(node).alias("_n"), F.col(cluster).alias("_c"))
+    joined = (
+        e.join(asg.withColumnRenamed("_n", "src"), "src", "left")
+        .withColumnRenamed("_c", "c_src")
+        .join(
+            asg.select(F.col("_n").alias("dst"), F.col("_c").alias("c_dst")),
+            "dst",
+            "left",
+        )
+    )
+    # loud guard: an edge endpoint the assignment doesn't cover would
+    # silently understate density/cut counts — fail the job instead
+    guard = lambda c: F.when(  # noqa: E731
+        F.col(c).isNull(),
+        F.raise_error(
+            F.lit(
+                "cluster_graph_stats: edge endpoint missing from the "
+                "cluster assignment"
+            )
+        ),
+    ).otherwise(F.col(c))
+    joined = joined.withColumn("c_src", guard("c_src")).withColumn(
+        "c_dst", guard("c_dst")
+    )
+    internal = (
+        joined.where(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("cluster"))
+        .agg(F.count("*").alias("n_internal_edges"))
+    )
+    cut = (
+        joined.where(F.col("c_src") != F.col("c_dst"))
+        .select(
+            F.explode(F.array(F.col("c_src"), F.col("c_dst"))).alias("cluster")
+        )
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_cut_edges"))
+    )
+    sizes = asg.groupBy(F.col("_c").alias("cluster")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    out = (
+        sizes.join(internal, "cluster", "left")
+        .join(cut, "cluster", "left")
+        .withColumn(
+            "n_internal_edges", F.coalesce("n_internal_edges", F.lit(0)).cast("long")
+        )
+        .withColumn("n_cut_edges", F.coalesce("n_cut_edges", F.lit(0)).cast("long"))
+        .withColumn(
+            "density_micro",
+            F.when(F.col("n_nodes") < 2, F.lit(-1).cast("long")).otherwise(
+                F.expr(
+                    "(n_internal_edges * 2000000) div (n_nodes * (n_nodes - 1))"
+                )
+            ),
+        )
+        .withColumn(
+            "is_tree",
+            (F.col("n_nodes") >= 3)
+            & (F.col("n_internal_edges") == F.col("n_nodes") - 1),
+        )
+    )
+    return out
