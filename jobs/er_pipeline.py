@@ -47,6 +47,11 @@ def main() -> None:
                     help="fs: fit EM on this deterministic hash_sample "
                          "fraction of the candidate pairs (fit on a slice, "
                          "score everything)")
+    ap.add_argument("--stats-output",
+                    help="also write the per-cluster structural triage "
+                         "(cluster_graph_stats: density, tree/chain-risk "
+                         "flag, cut edges) to this parquet path (batch "
+                         "mode only)")
     ap.add_argument("--clustering", choices=["cc", "center", "star"], default="cc",
                     help="S4 cluster formation: cc = transitive closure; "
                          "center/star = diameter-bounded 1-hop clusters "
@@ -64,12 +69,17 @@ def main() -> None:
                          "existing clustering (bootstraps on first run) "
                          "instead of batch re-clustering")
     args = ap.parse_args()
+    if not args.input and not args.n_pages:
+        ap.error("need --input or --n-pages")
     if args.incremental_state and args.scorer != "jw":
         ap.error("--scorer fs is batch-only; --incremental-state scores "
                  "deltas with the jw path")
     if args.incremental_state and args.clustering != "cc":
         ap.error("--clustering center/star is batch-only; the incremental "
                  "state maintains a transitive-closure clustering")
+    if args.incremental_state and args.stats_output:
+        ap.error("--stats-output is batch-only; run a batch job over the "
+                 "state's pages to audit an incremental clustering")
 
     from pyspark.sql import SparkSession
 
@@ -80,7 +90,7 @@ def main() -> None:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     spark = builder.getOrCreate()
 
-    from deezymatch_spark.pipeline import incremental_er, run_er_pipeline
+    from deezymatch_spark.pipeline import incremental_er
 
     pages = spark.read.parquet(args.input) if args.input else None
     if args.preflight:
@@ -116,10 +126,14 @@ def main() -> None:
             use_minhash=args.use_minhash,
         )
     else:
-        out = run_er_pipeline(
-            spark,
-            pages=pages,
-            n_pages=args.n_pages,
+        from deezymatch_spark.pipeline import er_stages
+        from deezymatch_spark.sources.pages import generate_pages
+
+        if pages is None:
+            pages = generate_pages(spark, args.n_pages, with_truth=False)
+        stages = er_stages(
+            pages,
+            spark=spark,
             work_dir=args.work_dir,
             jw_threshold=args.jw_threshold,
             lev_max=args.lev_max,
@@ -132,6 +146,33 @@ def main() -> None:
             fs_fit_fraction=args.fs_fit_fraction,
             clustering=args.clustering,
         )
+        try:
+            stages["clusters"].write.mode("overwrite").parquet(args.output)
+            if args.stats_output:
+                from pyspark.sql import functions as F
+
+                from deezymatch_spark.operators.metrics import cluster_graph_stats
+
+                stats = cluster_graph_stats(
+                    stages["matches"].select(
+                        F.col("id1").alias("src"), F.col("id2").alias("dst")
+                    ),
+                    stages["components"].select(
+                        "node", F.col("component").alias("cluster")
+                    ),
+                )
+                stats.write.mode("overwrite").parquet(args.stats_output)
+                n_tree = spark.read.parquet(args.stats_output).where("is_tree").count()
+                print(f"cluster stats written to {args.stats_output} "
+                      f"({n_tree} tree-like chain-risk clusters)")
+        finally:
+            stages["release"]()
+        print(
+            f"clusters written to {args.output}: "
+            f"{spark.read.parquet(args.output).count()} rows"
+        )
+        spark.stop()
+        return
     out.write.mode("overwrite").parquet(args.output)
     print(f"clusters written to {args.output}: {spark.read.parquet(args.output).count()} rows")
     spark.stop()

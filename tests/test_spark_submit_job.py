@@ -30,12 +30,15 @@ def test_spark_submit_py_files(tmp_path):
             "--py-files", zip_base + ".zip",
             os.path.join(REPO, "jobs", "er_pipeline.py"),
             "--n-pages", "200", "--output", outd,
+            "--stats-output", str(tmp_path / "stats_out"),
         ],
         capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
     )
     assert res.returncode == 0, res.stderr[-3000:]
     assert "clusters written" in res.stdout
     assert os.path.exists(os.path.join(outd, "_SUCCESS"))
+    assert "cluster stats written" in res.stdout
+    assert os.path.exists(str(tmp_path / "stats_out" / "_SUCCESS"))
 
 
 def test_spark_submit_fs_scorer(tmp_path):
