@@ -311,7 +311,23 @@ def q_block_sizes(spark, sf):
         F.lit(-1).cast("long").alias("cbs"),
         F.col("weight_micro").alias("w"),
     )
-    return sizes.unionByName(snm).unionByName(meta).unionByName(mbest)
+    # r4: pre-flight join-cost rollup (operators/blocking.py
+    # blocking_preflight) over the same key set — per-family + TOTAL
+    # Σ C(size,2), capped at the meta stage's block cap; all exact
+    # bigint, so it rides the hash gate directly
+    from deezymatch_spark.operators.blocking import blocking_preflight
+
+    pf = blocking_preflight(keys, max_block_size=100).select(
+        F.lit("pf").alias("kind"),
+        F.col("family").alias("key"),
+        F.col("n_blocks").alias("id1"),
+        F.col("n_key_rows").alias("id2"),
+        F.col("est_pairs_capped").alias("cbs"),
+        F.col("est_pairs").alias("w"),
+    )
+    return (
+        sizes.unionByName(snm).unionByName(meta).unionByName(mbest).unionByName(pf)
+    )
 
 
 def q_minhash_signature(spark, sf):
@@ -1983,7 +1999,24 @@ def oracle_sql() -> dict[str, str]:
             union all
             select 'meta', '', id1, id2, cbs, w from mpw
             union all
-            select 'mbest', '', id1, id2, -1, w from mb""",
+            select 'mbest', '', id1, id2, -1, w from mb
+            union all
+            select 'pf', fam,
+                   cast(count(*) as bigint),
+                   cast(sum(n) as bigint),
+                   cast(sum(case when n <= 100 then (n*(n-1))//2 else 0 end) as bigint),
+                   cast(sum((n*(n-1))//2) as bigint)
+            from (select case when contains(block_key, ':')
+                              then split_part(block_key, ':', 1) || ':'
+                              else '(none)' end as fam, n
+                  from sizes) group by fam
+            union all
+            select 'pf', 'TOTAL',
+                   cast(count(*) as bigint),
+                   cast(sum(n) as bigint),
+                   cast(sum(case when n <= 100 then (n*(n-1))//2 else 0 end) as bigint),
+                   cast(sum((n*(n-1))//2) as bigint)
+            from sizes""",
         "minhash_signature": f"""
             with d as (select doc_id, list_distinct({g4}) as grams
                        from {norm_docs} where length(t) >= 4)
