@@ -517,14 +517,32 @@ def q_ranker_blocked(spark, sf):
 
 
 def q_cc_components(spark, sf):
-    """CC + threshold-sweep composite: connected components of the
-    weighted same-label adjacency graph at match thresholds [2, 0]
-    (operators/incremental.py:clusters_at_thresholds — CC from scratch
-    only at the tightest threshold, each lower threshold folds in just
-    its edge BAND via update_clusters' delta-neighborhood path; the
-    t=0 section is the original cc_components query). Edge weight =
-    src % 4, a deterministic stand-in for a match score."""
-    from deezymatch_spark.operators import clusters_at_thresholds
+    """Clustering composite over the same-label adjacency graph —
+    four graded sections, kind-discriminated:
+    - 'cc': connected components at match thresholds [2, 0]
+      (operators/incremental.py:clusters_at_thresholds — CC from
+      scratch only at the tightest threshold, each lower threshold
+      folds in just its edge BAND via update_clusters'
+      delta-neighborhood path). Edge weight = src % 4, a deterministic
+      stand-in for a match score.
+    - 'center' / 'star' (r4): the diameter-bounded clusterings
+      (operators/star.py) of the full edge set. The graph family is a
+      union of ascending-id paths, so the round rule has a CLOSED FORM
+      the DuckDB oracle derives per island (CENTER consumes 2 nodes
+      per round from the run head; STAR seats a 3-group around the
+      first interior hub, then pairs) — the generic rule itself is
+      parity-tested against the driver twin in test_star_clusters.py.
+    - 'stats' (r4): cluster_graph_stats (operators/metrics.py) of the
+      STAR clustering against the full edge set — n_nodes / internal
+      edges / exact density / cut-side counts (nonzero here: star cuts
+      the path edges between adjacent stars) / is_tree, with cut and
+      tree packed as y = 2*n_cut + is_tree."""
+    from deezymatch_spark.operators import (
+        center_clusters,
+        cluster_graph_stats,
+        clusters_at_thresholds,
+        star_clusters,
+    )
 
     e = _t(spark, sf, "embeddings")
     a, b = e.alias("a"), e.alias("b")
@@ -537,11 +555,38 @@ def q_cc_components(spark, sf):
         F.col("b.vec_id").alias("dst"),
         F.pmod(F.col("a.vec_id"), F.lit(4)).alias("weight"),
     )
-    return clusters_at_thresholds(edges, [2, 0]).select(
-        F.col("threshold").cast("long").alias("threshold"),
-        "node",
-        "component",
+    neg = F.lit(-1).cast("long")
+
+    def shape(df, kind, t, node, comp, x=None, y=None):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            (F.lit(t) if isinstance(t, int) else t).cast("long").alias("t"),
+            node.cast("long").alias("node"),
+            comp.cast("long").alias("component"),
+            (neg if x is None else x.cast("long")).alias("x"),
+            (neg if y is None else y.cast("long")).alias("y"),
+        )
+
+    cc = shape(
+        clusters_at_thresholds(edges, [2, 0]),
+        "cc", F.col("threshold"), F.col("node"), F.col("component"),
     )
+    ee = edges.select("src", "dst")
+    cen = shape(
+        center_clusters(ee), "center", -1, F.col("node"), F.col("cluster")
+    )
+    st_assign = star_clusters(ee)
+    st = shape(st_assign, "star", -1, F.col("node"), F.col("cluster"))
+    stats = shape(
+        cluster_graph_stats(ee, st_assign, node="node", cluster="cluster"),
+        "stats",
+        F.col("cluster"),
+        F.col("n_nodes"),
+        F.col("n_internal_edges"),
+        F.col("density_micro"),
+        F.col("n_cut_edges") * 2 + F.col("is_tree").cast("long"),
+    )
+    return cc.unionByName(cen).unionByName(st).unionByName(stats)
 
 
 def q_train_split(spark, sf):
@@ -688,7 +733,14 @@ def q_jaro_winkler_pairs(spark, sf):
     exact-integer inverse-frequency ratio (tf_total·10⁶ div tf_count);
     non-agreeing pairs the -1 sentinel. The float log2 form of the
     adjustment exists on the operator but is deliberately not graded
-    (cross-engine libm ulp risk)."""
+    (cross-engine libm ulp risk).
+    PLUS (r4) the two-table fuzzy linkage (operators/linkage.py
+    link_records): even-doc_id docs as the left table, odd as the
+    right, gram+word blocking with the hot-key cap AND the salt tier
+    exercised (salt_threshold < max_block_size so mid-size blocks take
+    the salted join — result-invariant, pytest-locked), length/Lev
+    gates, JW threshold, one_to_one mutual-best. 'link' rows carry
+    (-1) sentinels in the FS columns; 'adj' rows in none."""
     from deezymatch_spark.operators import (
         comparison_vectors,
         fs_score,
@@ -733,7 +785,8 @@ def q_jaro_winkler_pairs(spark, sf):
     tc = tfidf_cosine_pairs(recs, pair_ids, scheme="raw").select(
         "id1", "id2", "cos2_micro"
     )
-    return adjusted.select(
+    adj = adjusted.select(
+        F.lit("adj").alias("kind"),
         F.col("a.doc_id").alias("id1"),
         F.col("b.doc_id").alias("id2"),
         F.round(jaro_winkler_udf(F.col("a.p"), F.col("b.p")), 6).alias("jw"),
@@ -744,6 +797,36 @@ def q_jaro_winkler_pairs(spark, sf):
         "match_weight_micro",
         "tf_token_ratio_micro",
     ).join(tc, ["id1", "id2"])
+
+    from deezymatch_spark.operators import link_records
+
+    nd = _docs_norm(spark, sf)
+    lt = nd.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"), F.col("t").alias("key")
+    )
+    rt = nd.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id"), F.col("t").alias("key")
+    )
+    sentinel = F.lit(-1).cast("long")
+    link = link_records(
+        lt, rt,
+        lev_max=4, max_block_size=100, salt_threshold=20, n_salt=4,
+        jw_threshold=0.9, one_to_one=True,
+        ngram=3, prefix_len=12, use_minhash=False, use_words=True,
+    ).select(
+        F.lit("link").alias("kind"),
+        F.col("left_id").alias("id1"),
+        F.col("right_id").alias("id2"),
+        F.round("jw", 6).alias("jw"),
+        F.col("lev").cast("long").alias("lev"),
+        sentinel.alias("gamma_prefix"),
+        sentinel.alias("gamma_token"),
+        sentinel.alias("gamma_len"),
+        sentinel.alias("match_weight_micro"),
+        sentinel.alias("tf_token_ratio_micro"),
+        sentinel.alias("cos2_micro"),
+    )
+    return adj.unionByName(link)
 
 
 def _jw_fs_oracle_sql() -> str:
@@ -806,8 +889,47 @@ def _jw_fs_oracle_sql() -> str:
                  from cv
                  left join dots on dots.id1 = cv.id1 and dots.id2 = cv.id2
                  left join nrm na on na.doc_id = cv.id1
-                 left join nrm nb on nb.doc_id = cv.id2)
-        select cv.id1, cv.id2,
+                 left join nrm nb on nb.doc_id = cv.id2),
+        -- two-table linkage twin (link_records): even docs = left,
+        -- odd = right; gram+word keys, union-count hot cap at 100
+        -- (the salt tier is result-invariant so the oracle omits it),
+        -- length/lev gates, jw >= 0.82, directed mutual best
+        nd as (select doc_id, lower(trim(text)) as t from documents),
+        lt as (select doc_id as id, t as k from nd where doc_id % 2 = 0),
+        rt as (select doc_id as id, t as k from nd where doc_id % 2 = 1),
+        lkk as (
+          select id, 'g:' || unnest(list_distinct({_d_grams("substr(k,1,12)", 3)})) as bk, k from lt
+          union all
+          select id, 'w:' || unnest(list_distinct(list_filter(
+              string_split_regex(k, '{_D_WORD_RE}'), x -> x != ''))) as bk, k from lt),
+        rkk as (
+          select id, 'g:' || unnest(list_distinct({_d_grams("substr(k,1,12)", 3)})) as bk, k from rt
+          union all
+          select id, 'w:' || unnest(list_distinct(list_filter(
+              string_split_regex(k, '{_D_WORD_RE}'), x -> x != ''))) as bk, k from rt),
+        goodk as (select bk from (select bk from lkk union all select bk from rkk)
+                  group by bk having count(*) <= 100),
+        cand as (select distinct l.id as lid, r.id as rid, l.k as k1, r.k as k2
+                 from (select lkk.* from lkk join goodk using (bk)) l
+                 join (select rkk.* from rkk join goodk using (bk)) r using (bk)
+                 where abs(length(l.k) - length(r.k)) <= 4),
+        lg as (select lid, rid,
+                 levenshtein(k1, k2) as lev,
+                 jaro_winkler_similarity(k1, k2) as jw
+               from cand where levenshtein(k1, k2) <= 4),
+        lf as (select * from lg where jw >= 0.9),
+        lbest as (select f.lid, min(f.rid) as best_r
+                  from lf f join (select lid, max(jw) as mj from lf group by lid) m
+                    on f.lid = m.lid and f.jw = m.mj
+                  group by f.lid),
+        rbest as (select f.rid, min(f.lid) as best_l
+                  from lf f join (select rid, max(jw) as mj from lf group by rid) m
+                    on f.rid = m.rid and f.jw = m.mj
+                  group by f.rid),
+        lsel as (select f.* from lf f
+                 join lbest on f.lid = lbest.lid and f.rid = lbest.best_r
+                 join rbest on f.rid = rbest.rid and f.lid = rbest.best_l)
+        select 'adj' as kind, cv.id1, cv.id2,
           round(jaro_winkler_similarity(pa, pb), 6) as jw,
           levenshtein(pa, pb) as lev,
           cast(gamma_prefix as bigint) as gamma_prefix,
@@ -823,16 +945,33 @@ def _jw_fs_oracle_sql() -> str:
         from cv
         left join tf on cv.gamma_token = 2 and cv.wa = tf.tf_value
         join tcos on tcos.id1 = cv.id1 and tcos.id2 = cv.id2
-        cross join tot"""
+        cross join tot
+        union all
+        select 'link', lid, rid, round(jw, 6), lev,
+          -1, -1, -1, cast(-1 as bigint), cast(-1 as bigint), cast(-1 as bigint)
+        from lsel"""
 
 
 def _cc_sweep_oracle_sql() -> str:
-    """DuckDB twin of the q_cc_components threshold sweep: at each t
-    the same-label adjacency edge (v-1 -> v, weight (v-1)%4) survives
+    """DuckDB twin of the q_cc_components clustering composite: at each
+    t the same-label adjacency edge (v-1 -> v, weight (v-1)%4) survives
     iff its weight >= t, so components are gaps-and-islands runs that
     BREAK where the predecessor is absent or the edge is under
     threshold — a closed form for this graph family, which keeps the
-    oracle independent of the incremental update path it checks."""
+    oracle independent of the incremental update path it checks.
+    The center/star sections exploit the same structure: every
+    component is an ascending-id PATH s..s+L-1, on which the round
+    rule (star.py docstring) resolves in closed form —
+    CENTER (rank = id): the run head is the only round-1 center (its
+    satellite is s+1); each round consumes 2 nodes, so node s+i joins
+    center s + 2*(i//2).
+    STAR (rank = (-degree, id), degrees static): for L>=3 the first
+    interior node s+1 out-ranks both path ends, seats {s, s+1, s+2},
+    and the remainder pairs up like CENTER shifted to s+3; L=2 has no
+    interior so it degrades to CENTER's pair at s.
+    The stats section recomputes cluster_graph_stats generically in
+    SQL from the star assignment and the edge list (no closed form
+    needed — it is plain joins + group-bys)."""
 
     def one(t: int) -> str:
         return f"""
@@ -851,8 +990,61 @@ def _cc_sweep_oracle_sql() -> str:
                   from embeddings))) where n > 1"""
 
     return f"""
-        select cast(threshold as bigint) as threshold, node, component
-        from ({one(2)} union all {one(0)})"""
+        with runs as (
+          select vec_id,
+                 min(vec_id) over (partition by label, isl) as s,
+                 count(*) over (partition by label, isl) as L
+          from (
+            select vec_id, label,
+                   sum(brk) over (partition by label order by vec_id) as isl
+            from (
+              select vec_id, label,
+                     case when lag(vec_id) over (partition by label order by vec_id)
+                               is distinct from vec_id - 1 then 1 else 0 end as brk
+              from embeddings))),
+        cs as (select vec_id as node, s, L, vec_id - s as i
+               from runs where L > 1),
+        cen as (select node, s + 2 * (i // 2) as cluster from cs),
+        star as (select node,
+                   case when L = 2 then s
+                        when i < 3 then s + 1
+                        else s + 3 + 2 * ((i - 3) // 2) end as cluster
+                 from cs),
+        edges as (select a.vec_id as src, b.vec_id as dst
+                  from embeddings a join embeddings b
+                    on b.vec_id = a.vec_id + 1 and a.label = b.label),
+        je as (select s1.cluster as c1, s2.cluster as c2
+               from edges e
+               join star s1 on s1.node = e.src
+               join star s2 on s2.node = e.dst),
+        internal as (select c1 as cl, cast(count(*) as bigint) as n_int
+                     from je where c1 = c2 group by 1),
+        cut as (select cl, cast(count(*) as bigint) as nc from (
+                  select c1 as cl from je where c1 != c2
+                  union all
+                  select c2 as cl from je where c1 != c2) group by 1),
+        nn as (select cluster as cl, cast(count(*) as bigint) as n_nodes
+               from star group by 1),
+        stats as (select nn.cl, nn.n_nodes,
+                    coalesce(internal.n_int, 0) as n_int,
+                    coalesce(cut.nc, 0) as nc
+                  from nn
+                  left join internal using (cl)
+                  left join cut using (cl))
+        select 'cc' as kind, cast(threshold as bigint) as t, node, component,
+               cast(-1 as bigint) as x, cast(-1 as bigint) as y
+        from ({one(2)} union all {one(0)})
+        union all
+        select 'center', -1, node, cluster, -1, -1 from cen
+        union all
+        select 'star', -1, node, cluster, -1, -1 from star
+        union all
+        select 'stats', cl, n_nodes, n_int,
+               case when n_nodes < 2 then -1
+                    else (n_int * 2000000) // (n_nodes * (n_nodes - 1)) end,
+               nc * 2 + case when n_int = n_nodes - 1 and n_nodes >= 3
+                             then 1 else 0 end
+        from stats"""
 
 
 def q_doc_fingerprints(spark, sf):
