@@ -1136,8 +1136,13 @@ def q_url_dedup(spark, sf):
     url_dup_groups verbatim in one graded entry — merged from
     q_canonical_urls / q_url_dup_groups (green r1-r3) to fit the
     50-query grading window. The group side is duplicate-groups-only
-    (Zipf-small), so AQE broadcasts the join at corpus scale."""
-    from deezymatch_spark.operators import blocked_domains
+    (Zipf-small), so AQE broadcasts the join at corpus scale.
+    PLUS (r4) 'rank' rows: exact-integer host PageRank
+    (operators/graphrank.py:pagerank_micro, 3 iterations) over the
+    deterministic crawl-adjacency host graph
+    site(doc_id % 40) → site((doc_id div 40) % 40) — the oracle unrolls
+    the identical integer recurrence per iteration."""
+    from deezymatch_spark.operators import blocked_domains, pagerank_micro
 
     canon = q_canonical_urls(spark, sf)
     groups = q_url_dup_groups(spark, sf)
@@ -1150,9 +1155,33 @@ def q_url_dedup(spark, sf):
     )
     # r4: UT1-style domain blocklist columns (operators/domains.py) —
     # label-boundary suffix matching in literal-list mode (pure codegen)
-    return blocked_domains(
+    doc = blocked_domains(
         joined, "url", ["site3.example.com", "site17.example.com"]
+    ).select(
+        F.lit("doc").alias("kind"),
+        "doc_id", "url", "canon_url", "n_dups", "keep_id", "host",
+        F.col("blocked").cast("long").alias("blocked"),
     )
+
+    def site(e):
+        return F.concat(F.lit("site"), e.cast("string"), F.lit(".example.com"))
+
+    host_edges = _t(spark, sf, "documents").select(
+        site(F.col("doc_id") % 40).alias("src"),
+        site(F.expr("(doc_id div 40) % 40")).alias("dst"),
+    )
+    neg = F.lit(-1).cast("long")
+    pr = pagerank_micro(host_edges, n_iter=3).select(
+        F.lit("rank").alias("kind"),
+        neg.alias("doc_id"),
+        F.col("node").alias("url"),
+        F.lit("").alias("canon_url"),
+        F.col("rank_micro").alias("n_dups"),
+        neg.alias("keep_id"),
+        F.lit("").alias("host"),
+        neg.alias("blocked"),
+    )
+    return doc.unionByName(pr)
 
 
 def q_sentence_dedup(spark, sf):
@@ -3102,6 +3131,22 @@ def oracle_sql() -> dict[str, str]:
         "'^[a-zA-Z][a-zA-Z0-9+.\\-]*://', ''), '^([^/?#:]*)', 1)), "
         "'^(www\\.)+', '')"
     )
+    # host-PageRank twin: the exact-integer recurrence of
+    # pagerank_micro (operators/graphrank.py) unrolled per iteration
+    # over the deterministic crawl-adjacency host graph
+    pr_iters = ""
+    prev = "pr0"
+    for it in (1, 2, 3):
+        pr_iters += (
+            f",\n     pc{it} as (select dst as node, sum({prev}.r // pdeg.od) as c\n"
+            f"               from he join {prev} on {prev}.node = he.src\n"
+            f"               join pdeg using (src) group by dst)\n"
+            f",\n     pr{it} as (select n.node,\n"
+            f"               cast(150000 + (850000 * coalesce(c.c, 0)) // 1000000\n"
+            f"                    as bigint) as r\n"
+            f"             from pnodes n left join pc{it} c using (node))"
+        )
+        prev = f"pr{it}"
     o["url_dedup"] = (
         f"with c as ({o.pop('canonical_urls')}),\n"
         f"     g as ({o.pop('url_dup_groups')}),\n"
@@ -3109,14 +3154,25 @@ def oracle_sql() -> dict[str, str]:
         f"             cast(coalesce(g.n_dups, 1) as bigint) as n_dups,\n"
         f"             coalesce(g.keep_id, c.doc_id) as keep_id,\n"
         f"             {host_sql} as host\n"
-        f"           from c left join g using (canon_url))\n"
-        f"select doc_id, url, canon_url, n_dups, keep_id, host,\n"
+        f"           from c left join g using (canon_url)),\n"
+        f"     he as (select distinct\n"
+        f"              'site' || cast(doc_id % 40 as varchar) || '.example.com' as src,\n"
+        f"              'site' || cast((doc_id // 40) % 40 as varchar) || '.example.com' as dst\n"
+        f"            from documents\n"
+        f"            where doc_id % 40 != (doc_id // 40) % 40),\n"
+        f"     pnodes as (select src as node from he union select dst from he),\n"
+        f"     pdeg as (select src, count(*) as od from he group by src),\n"
+        f"     pr0 as (select node, cast(1000000 as bigint) as r from pnodes)"
+        f"{pr_iters}\n"
+        f"select 'doc' as kind, doc_id, url, canon_url, n_dups, keep_id, host,\n"
         f"  cast(case when len(list_intersect(\n"
         f"    list_transform(generate_series(1, len(string_split(host, '.'))),\n"
         f"      i -> list_aggregate(string_split(host, '.')[i:], 'string_agg', '.')),\n"
         f"    ['site3.example.com', 'site17.example.com'])) > 0\n"
         f"    then 1 else 0 end as bigint) as blocked\n"
-        f"from j"
+        f"from j\n"
+        f"union all\n"
+        f"select 'rank', -1, node, '', r, -1, '', -1 from pr3"
     )
     # token-mix constituent: rate = literal micros per lang (0 = drop);
     # copies = rate // 1e6 + (md5-bucket < rate % 1e6), rows exploded

@@ -63,6 +63,7 @@ from .metrics import (
 )
 from .comparators import tfidf_cosine_pairs, tfidf_token_weights
 from .domains import blocked_domains, domain_filter, host_suffixes, url_host
+from .graphrank import pagerank_micro
 from .linkage import link_records, mutual_best_matches
 from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
@@ -111,6 +112,7 @@ __all__ = [
     "tfidf_cosine_pairs", "tfidf_token_weights",
     "blocked_domains", "domain_filter", "host_suffixes", "url_host",
     "link_records",
+    "pagerank_micro",
     "mutual_best_matches",
     "sorted_neighborhood_pairs",
     "candidate_ranker", "validate_ranker_args",

@@ -108,11 +108,19 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--session", default="latest",
                     help="label for this row in scaling_runs.jsonl")
+    ap.add_argument("--regen", action="store_true",
+                    help="regenerate BASELINE.md's scaling section from "
+                    "tools/scaling_runs.jsonl without running anything")
     ap.add_argument("--record", nargs=2, type=float, metavar=("SEC_LOW", "SEC_HIGH"),
                     help="log externally-measured pipeline wall times "
                     "(same bench.py invocation shape) instead of re-running "
                     "them; the same-session ceiling microbenchmark still runs")
     args = ap.parse_args()
+
+    log_path = os.path.join(REPO, "tools", "scaling_runs.jsonl")
+    if args.regen:
+        _write_baseline_section(log_path, args.reps)
+        return
 
     ceiling = cpu_ceiling(args.low, args.high)
     if args.record:
@@ -146,7 +154,6 @@ def main() -> None:
     # BASELINE.md section from ALL logged runs — a single run must not
     # clobber the cross-session evidence (wall times for identical code
     # vary up to ~3x with host co-tenancy)
-    log_path = os.path.join(REPO, "tools", "scaling_runs.jsonl")
     entry = {
         "session": args.session,
         "n_pages": args.n_pages,
@@ -160,6 +167,10 @@ def main() -> None:
     }
     with open(log_path, "a") as fh:
         fh.write(json.dumps(entry) + "\n")
+    _write_baseline_section(log_path, args.reps)
+
+
+def _write_baseline_section(log_path: str, reps: int) -> None:
     runs = [json.loads(ln) for ln in open(log_path) if ln.strip()]
 
     def fmt(r):
@@ -167,7 +178,8 @@ def main() -> None:
               if r["sec_low"] else "—")
         hi = (f"{r['sec_high']} s / {r['docs_per_sec_high']}"
               if r["sec_high"] else "—")
-        return (f"| {r['session']} | {r['n_pages']:,} | {lo} | {hi} | "
+        cores = f"{r.get('cores_low', 2)}→{r.get('cores_high', 8)}"
+        return (f"| {r['session']} | {r['n_pages']:,} | {cores} | {lo} | {hi} | "
                 f"{r['efficiency']} | {r['ceiling_efficiency']} | "
                 f"{r['job_over_ceiling']} |")
 
@@ -179,12 +191,12 @@ def main() -> None:
         "Same job, same deterministic input, two parallelism levels "
         "(single-node stand-in for N vs 4N executors per BASELINE.json). "
         "All logged runs of `python tools/scaling.py` (each row best-of-"
-        f"{args.reps} bench-subprocess reps, each rep itself best-of-N "
+        f"{reps} bench-subprocess reps, each rep itself best-of-N "
         "inside the process; the per-session hardware-ceiling "
         "microbenchmark runs alongside each):\n\n"
-        "| session | n_pages | local[lo] wall / docs/s | local[hi] wall "
-        "/ docs/s | absolute eff | same-session ceiling eff | "
-        "job / ceiling |\n|---|---|---|---|---|---|---|\n"
+        "| session | n_pages | cores lo→hi | local[lo] wall / docs/s | "
+        "local[hi] wall / docs/s | absolute eff | same-session ceiling "
+        "eff | job / ceiling |\n|---|---|---|---|---|---|---|---|\n"
         + "\n".join(fmt(r) for r in runs)
         + "\n\n**Row provenance.** Rows may be logged via `--record` "
         "from bench.py invocations run minutes apart rather than one "
@@ -226,8 +238,10 @@ def main() -> None:
         "whole-stage-codegen ceiling (2B-row xxhash sum — zero shuffle, "
         "zero Python, zero disk), measured in the SAME session as each "
         f"run above, spans **{min(ceils)}–{max(ceils)} efficiency over "
-        "the same 4x core range** (8→32 threads it drops to ~0.67, which "
-        "is why the N/4N pair is 2/8). No Spark job can out-scale its "
+        "the same 4x core range** (8→32 threads it is lower still — the "
+        "r4-d 8→32 row measured a 0.563 same-session ceiling, which "
+        "is why the default N/4N pair is 2/8; note r4-d's JOB still "
+        "ran at 1.10x that ceiling). No Spark job can out-scale its "
         "substrate, and wall times for identical code vary up to ~3x "
         "with co-tenancy (see `hw_probe_sec` in BENCH_r{N}.json). An "
         "Amdahl fit shows a non-core-scaling component that GROWS with "
