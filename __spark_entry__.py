@@ -1238,10 +1238,32 @@ NEARDUP_LIMIT = 200
 
 
 def q_minhash_dup_pairs(spark, sf):
-    return minhash_dup_pairs(
-        _neardup_corpus(spark, sf), "doc_id", "text",
+    """Near-dup pair composite: 'lsh' rows = the banded-MinHash
+    generator (probabilistic recall, hot-bucket cap), 'pp' rows (r4) =
+    the exact prefix-filtered set-similarity join
+    (operators/ssjoin.py:jaccard_join, PPJoin family) at t=0.5 on the
+    same corpus — recall-complete, so its DuckDB twin is the NAIVE
+    all-pairs Jaccard (with only the provably-implied size prefilter),
+    which grades the completeness theorem itself, not a re-derivation
+    of the algorithm."""
+    from deezymatch_spark.operators import jaccard_join
+
+    corpus = _neardup_corpus(spark, sf)
+    lsh = minhash_dup_pairs(
+        corpus, "doc_id", "text",
         gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
-    ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    ).select(
+        F.lit("lsh").alias("kind"),
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard"),
+    )
+    pp = jaccard_join(
+        corpus.select("doc_id", F.lower(F.trim(F.col("text"))).alias("t")),
+        "doc_id", "t", gram=5, threshold=0.5,
+    ).select(
+        F.lit("pp").alias("kind"),
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard"),
+    )
+    return lsh.unionByName(pp)
 
 
 def q_simhash_dup_pairs(spark, sf):
@@ -2525,9 +2547,24 @@ def oracle_sql() -> dict[str, str]:
               cast(len(regexp_extract_all(text, '{PII_PHONE_RE}')) as bigint) as n_phones
             from src""",
         "minhash_dup_pairs": f"""
-            with {neardup_ctes}
-            select id1, id2, round(jaccard, 6) as jaccard
-            from j where jaccard >= 0.3""",
+            with {neardup_ctes},
+            -- exact-join twin: naive all-pairs Jaccard over the same
+            -- corpus; the size prefilter (min*2 >= max) is implied by
+            -- J >= 0.5 (min/max >= J), so it prunes nothing real
+            ppnz as (select id, grams from nz),
+            ppj as (select a.id as id1, b.id as id2,
+                      len(list_intersect(a.grams, b.grams))::double
+                        / (len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams))) as jac
+                    from ppnz a join ppnz b
+                      on a.id < b.id
+                     and least(len(a.grams), len(b.grams)) * 2
+                         >= greatest(len(a.grams), len(b.grams)))
+            select 'lsh' as kind, id1, id2, round(jaccard, 6) as jaccard
+            from j where jaccard >= 0.3
+            union all
+            select 'pp', id1, id2, round(jac, 6)
+            from ppj where jac >= 0.5""",
         "near_dedup_docs": f"""
             with recursive {neardup_ctes},
             {closure_ctes}

@@ -67,6 +67,7 @@ from .graphrank import pagerank_micro
 from .linkage import link_records, mutual_best_matches
 from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
+from .ssjoin import jaccard_join
 from .snm import sorted_neighborhood_pairs
 from .sessions import session_stats, sessionize
 from .survivorship import assign_clusters, golden_records
@@ -114,6 +115,7 @@ __all__ = [
     "link_records",
     "pagerank_micro",
     "mutual_best_matches",
+    "jaccard_join",
     "sorted_neighborhood_pairs",
     "candidate_ranker", "validate_ranker_args",
     "assign_clusters", "golden_records",
