@@ -1266,6 +1266,16 @@ def q_minhash_dup_pairs(spark, sf):
     return lsh.unionByName(pp)
 
 
+def q_minhash_dup_pairs_bench(spark, sf):
+    """bench.py override: the r1-r3 lsh-only shape, so the benched
+    'minhash_dup_pairs' number measures identical work every round
+    (the CONTRACT entry grew the exact-ppjoin section in r4)."""
+    return minhash_dup_pairs(
+        _neardup_corpus(spark, sf), "doc_id", "text",
+        gram=5, num_hashes=8, bands=4, jaccard_threshold=0.3, max_block_size=500,
+    ).select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_simhash_dup_pairs(spark, sf):
     return simhash_dup_pairs(
         _neardup_corpus(spark, sf), "doc_id", "text",

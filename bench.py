@@ -301,11 +301,19 @@ def main() -> None:
             extras["pairs_per_sec"] = round(n_pairs / el, 1)
         else:
             # best-of-2 for the cheap queries too (same tenancy rationale).
-            # Fall back to the module-level q_* functions for constituent
-            # queries that were merged into composite contract entries
-            # (e.g. sq_l2_topk -> vector_topk) so bench metric names stay
-            # comparable across rounds.
-            fn = qs.get(name) or getattr(E, f"q_{name}")
+            # A q_<name>_bench override pins the benched work to the
+            # round-1 constituent when the CONTRACT entry later grew
+            # extra composite sections (e.g. minhash_dup_pairs gained
+            # the exact ppjoin rows in r4) — bench numbers must measure
+            # the same work every round. Fall back to the module-level
+            # q_* functions for constituent queries that were merged
+            # into composite contract entries (e.g. sq_l2_topk ->
+            # vector_topk) so bench metric names stay comparable.
+            fn = (
+                getattr(E, f"q_{name}_bench", None)
+                or qs.get(name)
+                or getattr(E, f"q_{name}")
+            )
             els = []
             for _ in range(2):
                 t1 = time.time()
