@@ -785,6 +785,14 @@ def q_jaro_winkler_pairs(spark, sf):
     tc = tfidf_cosine_pairs(recs, pair_ids, scheme="raw").select(
         "id1", "id2", "cos2_micro"
     )
+    # r4: Soft-TF-IDF (Cohen et al. 2003) over the same pairs — the
+    # hybrid token/char comparator, exact-integer scheme
+    from deezymatch_spark.operators import soft_tfidf_pairs
+
+    st = soft_tfidf_pairs(recs, pair_ids, theta_micro=900_000).select(
+        "id1", "id2", "soft2_micro"
+    )
+    tc = tc.join(st, ["id1", "id2"])
     adj = adjusted.select(
         F.lit("adj").alias("kind"),
         F.col("a.doc_id").alias("id1"),
@@ -825,6 +833,7 @@ def q_jaro_winkler_pairs(spark, sf):
         sentinel.alias("match_weight_micro"),
         sentinel.alias("tf_token_ratio_micro"),
         sentinel.alias("cos2_micro"),
+        sentinel.alias("soft2_micro"),
     )
     return adj.unionByName(link)
 
@@ -890,6 +899,36 @@ def _jw_fs_oracle_sql() -> str:
                  left join dots on dots.id1 = cv.id1 and dots.id2 = cv.id2
                  left join nrm na on na.doc_id = cv.id1
                  left join nrm nb on nb.doc_id = cv.id2),
+        -- soft-tfidf (Cohen et al. 2003), exact-integer: per LEFT
+        -- token the best close partner (floor(jw·1e6) > 900000; floor,
+        -- not round — round-half rules differ between engines),
+        -- staged-division terms, cos2-style factored normalization
+        stp as (select cv.id1, cv.id2,
+                  wa.token as ta, wa.wgt as wwa,
+                  wb.token as tb, wb.wgt as wwb
+                from cv
+                join wt wa on wa.doc_id = cv.id1
+                join wt wb on wb.doc_id = cv.id2),
+        sjw as (select *, case when ta = tb then cast(1000000 as bigint)
+                     else cast(floor(jaro_winkler_similarity(ta, tb) * 1000000) as bigint)
+                     end as jwm
+                from stp),
+        sbest as (select id1, id2, wwa, wwb, jwm,
+                    row_number() over (partition by id1, id2, ta
+                                       order by jwm desc, tb asc) as rn
+                  from sjw where jwm > 900000),
+        sdot as (select id1, id2,
+                   cast(sum(((wwa * wwb) // 1000) * jwm // 1000) as bigint) as sd
+                 from sbest where rn = 1 group by id1, id2),
+        ssc as (select cv.id1, cv.id2,
+                  cast(case when na.nn2 is null or nb.nn2 is null then -1
+                       else ((coalesce(sd, 0) * 1000) // na.nn2)
+                          * ((coalesce(sd, 0) * 1000) // nb.nn2)
+                       end as bigint) as soft2_micro
+                from cv
+                left join sdot on sdot.id1 = cv.id1 and sdot.id2 = cv.id2
+                left join nrm na on na.doc_id = cv.id1
+                left join nrm nb on nb.doc_id = cv.id2),
         -- two-table linkage twin (link_records): even docs = left,
         -- odd = right; gram+word keys, union-count hot cap at 100
         -- (the salt tier is result-invariant so the oracle omits it),
@@ -941,14 +980,17 @@ def _jw_fs_oracle_sql() -> str:
           cast(case when gamma_token = 2 and tf.tf_count is not null
                then (tot.tf_total * 1000000) // tf.tf_count
                else -1 end as bigint) as tf_token_ratio_micro,
-          tcos.cos2_micro
+          tcos.cos2_micro,
+          ssc.soft2_micro
         from cv
         left join tf on cv.gamma_token = 2 and cv.wa = tf.tf_value
         join tcos on tcos.id1 = cv.id1 and tcos.id2 = cv.id2
+        join ssc on ssc.id1 = cv.id1 and ssc.id2 = cv.id2
         cross join tot
         union all
         select 'link', lid, rid, round(jw, 6), lev,
-          -1, -1, -1, cast(-1 as bigint), cast(-1 as bigint), cast(-1 as bigint)
+          -1, -1, -1, cast(-1 as bigint), cast(-1 as bigint),
+          cast(-1 as bigint), cast(-1 as bigint)
         from lsel"""
 
 

@@ -61,7 +61,7 @@ from .metrics import (
     mean_average_precision,
     pairwise_cluster_metrics,
 )
-from .comparators import tfidf_cosine_pairs, tfidf_token_weights
+from .comparators import soft_tfidf_pairs, tfidf_cosine_pairs, tfidf_token_weights
 from .domains import blocked_domains, domain_filter, host_suffixes, url_host
 from .graphrank import pagerank_micro
 from .linkage import link_records, mutual_best_matches
@@ -110,7 +110,7 @@ __all__ = [
     "fs_score", "fs_tf_adjust", "seed_fs_params", "seed_fs_weights",
     "term_frequencies",
     "meta_block_weights", "meta_blocked_pairs",
-    "tfidf_cosine_pairs", "tfidf_token_weights",
+    "soft_tfidf_pairs", "tfidf_cosine_pairs", "tfidf_token_weights",
     "blocked_domains", "domain_filter", "host_suffixes", "url_host",
     "link_records",
     "pagerank_micro",
