@@ -598,11 +598,52 @@ def q_train_split(spark, sf):
 
 
 def q_class_counts(spark, sf):
-    return (
+    """Counts + intake-profiling composite (r4):
+    - 'class' rows: the original per-label counts (A1);
+    - 'prof' rows: operators/profiling.py:profile_columns over the
+      documents table — per-column n_rows / n_nulls / exact n_distinct
+      from ONE stacked scan;
+    - 'top' rows: top_values heavy hitters (k=3, ties → value asc) on
+      the enum-ish columns."""
+    from deezymatch_spark.operators import profile_columns, top_values
+
+    neg = F.lit(-1).cast("long")
+    cls = (
         _t(spark, sf, "embeddings")
         .groupBy("label")
         .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.lit("class").alias("kind"),
+            F.col("label").cast("string").alias("key"),
+            F.lit("").alias("value"),
+            "n",
+            neg.alias("rk"),
+        )
     )
+    d = _t(spark, sf, "documents")
+    prof = profile_columns(d).select(
+        F.lit("prof").alias("kind"),
+        F.col("column").alias("key"),
+        "n_rows", "n_nulls", "n_distinct",
+    )
+    prof = prof.select(
+        "kind", "key",
+        F.explode(
+            F.create_map(
+                F.lit("n_rows"), F.col("n_rows"),
+                F.lit("n_nulls"), F.col("n_nulls"),
+                F.lit("n_distinct"), F.col("n_distinct"),
+            )
+        ).alias("value", "n"),
+    ).select("kind", "key", "value", "n", neg.alias("rk"))
+    top = top_values(d, ["lang", "source"], k=3).select(
+        F.lit("top").alias("kind"),
+        F.col("column").alias("key"),
+        "value",
+        "n",
+        F.col("rank").alias("rk"),
+    )
+    return cls.unionByName(prof).unionByName(top)
 
 
 def q_vocab_build(spark, sf):
@@ -2406,7 +2447,38 @@ def oracle_sql() -> dict[str, str]:
                    when pos >= nt and pos < nt + nv then 'val'
                    else 'train' end as split
             from p""",
-        "class_counts": "select label, count(*) as n from embeddings group by label",
+        "class_counts": """
+            with prof as (
+              {profs}
+            ),
+            tv as (
+              select 'lang' as key, lang as value, cast(count(*) as bigint) as n
+              from documents where lang is not null group by lang
+              union all
+              select 'source', source, cast(count(*) as bigint)
+              from documents where source is not null group by source),
+            topk as (select key, value, n,
+                       row_number() over (partition by key
+                                          order by n desc, value asc) as rk
+                     from tv)
+            select 'class' as kind, cast(label as varchar) as key,
+                   '' as value, cast(count(*) as bigint) as n,
+                   cast(-1 as bigint) as rk
+            from embeddings group by label
+            union all
+            select 'prof', key, value, n, -1 from prof
+            union all
+            select 'top', key, value, n, cast(rk as bigint)
+            from topk where rk <= 3""".format(
+            profs="\n              union all\n              ".join(
+                f"select '{c}' as key, 'n_rows' as value, cast(count(*) as bigint) as n from documents"
+                f"\n              union all"
+                f"\n              select '{c}', 'n_nulls', cast(count(*) - count({c}) as bigint) from documents"
+                f"\n              union all"
+                f"\n              select '{c}', 'n_distinct', cast(count(distinct cast({c} as varchar)) as bigint) from documents"
+                for c in ("doc_id", "text", "lang", "source", "n_chars")
+            )
+        ),
         "vocab_build": f"""
             with ix as (select doc_id, t, unnest(generate_series(1, length(t))) as i
                         from {norm_docs}),

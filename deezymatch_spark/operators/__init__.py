@@ -30,6 +30,7 @@ from .gopher import GOPHER_DEFAULTS, gopher_filter
 from .incremental import clusters_at_thresholds, remove_nodes, update_clusters
 from .knn import brute_force_topk, ivf_topk, lsh_topk
 from .lm import char_ngram_lm, lm_score
+from .profiling import profile_columns, top_values
 from .quality_lr import (
     fit_quality_lr,
     score_quality_lr,
@@ -114,6 +115,7 @@ __all__ = [
     "blocked_domains", "domain_filter", "host_suffixes", "url_host",
     "link_records",
     "pagerank_micro",
+    "profile_columns", "top_values",
     "mutual_best_matches",
     "jaccard_join",
     "sorted_neighborhood_pairs",

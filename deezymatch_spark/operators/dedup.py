@@ -357,6 +357,26 @@ def semantic_dedup(
     )
 
 
+def _near_dup_pairs(df, id_col, text_col, method, kwargs):
+    """Shared pair-generator dispatch for near_dedup/dedup_keep_best.
+    'exact' = the prefix-filtered set-similarity join (ssjoin.py) —
+    recall-complete, so it takes no max_block_size (a cap would drop
+    true pairs, the opposite of its contract); the arg is accepted and
+    ignored so job wiring can pass one uniform kwarg set."""
+    if method == "minhash":
+        return minhash_dup_pairs(df, id_col, text_col, **kwargs)
+    if method == "simhash":
+        return simhash_dup_pairs(df, id_col, text_col, **kwargs)
+    if method == "exact":
+        from .ssjoin import jaccard_join
+
+        kw = dict(kwargs)
+        kw.pop("max_block_size", None)
+        t = kw.pop("jaccard_threshold", 0.5)
+        return jaccard_join(df, id_col, text_col, threshold=t, **kw)
+    raise ValueError(f"unknown near-dedup method: {method!r}")
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str,
@@ -369,15 +389,12 @@ def near_dedup(
     doc per duplicate cluster. → df minus non-representative dups.
 
     ``method``: 'minhash' (Jaccard over shingles — robust for longer
-    texts) or 'simhash' (Hamming over the bit fingerprint — cheaper,
-    one BIGINT per doc through the shuffle); kwargs pass to the
-    respective pair operator."""
-    if method == "minhash":
-        pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
-    elif method == "simhash":
-        pairs = simhash_dup_pairs(df, id_col, text_col, **kwargs)
-    else:
-        raise ValueError(f"unknown near-dedup method: {method!r}")
+    texts), 'simhash' (Hamming over the bit fingerprint — cheaper,
+    one BIGINT per doc through the shuffle), or 'exact' (r4: the
+    recall-complete prefix-filtered set-similarity join, ssjoin.py —
+    every Jaccard>=t pair is found, no LSH misses, no cap drops);
+    kwargs pass to the respective pair operator."""
+    pairs = _near_dup_pairs(df, id_col, text_col, method, kwargs)
     comps = connected_components(
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     )
@@ -416,12 +433,7 @@ def dedup_keep_best(
     docs never shuffle.
     """
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
-    if method == "minhash":
-        pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
-    elif method == "simhash":
-        pairs = simhash_dup_pairs(df, id_col, text_col, **kwargs)
-    else:
-        raise ValueError(f"unknown near-dedup method: {method!r}")
+    pairs = _near_dup_pairs(df, id_col, text_col, method, kwargs)
     comps = connected_components(
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     )

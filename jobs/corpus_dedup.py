@@ -229,9 +229,9 @@ def main() -> None:
     ap.add_argument("--qlr-salt", default="qlrneg",
                     help="salt for the negatives sample — independent "
                          "of the other sampling stages")
-    ap.add_argument("--near-method", choices=["minhash", "simhash"],
+    ap.add_argument("--near-method", choices=["minhash", "simhash", "exact"],
                     default="minhash",
-                    help="near-dup detector: MinHash/Jaccard (longer "
+                    help="near-dup detector: exact = recall-complete prefix-filtered set-similarity join; MinHash/Jaccard (longer "
                          "texts) or SimHash/Hamming (cheaper shuffle)")
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
     ap.add_argument("--minhash-gram", type=int, default=5)
@@ -852,6 +852,13 @@ def main() -> None:
                 gram=args.minhash_gram,
                 num_hashes=args.num_hashes,
                 bands=args.bands,
+                jaccard_threshold=args.jaccard_threshold,
+            )
+        elif args.near_method == "exact":
+            # recall-complete ppjoin (operators/ssjoin.py): no bands,
+            # no hashes, no cap — gram + threshold are the whole knob set
+            kw = dict(
+                gram=args.minhash_gram,
                 jaccard_threshold=args.jaccard_threshold,
             )
         else:

@@ -59,6 +59,12 @@ def test_stage_chain(spark):
     ids = sorted(r.doc_id for r in df.select("doc_id").collect())
     assert ids == [2, 3, 5, 6]  # 4 lost to 3 (min-id keep)
 
+    # the exact (ppjoin) mode must agree with LSH here — the planted
+    # near-dup is far above the banding knee, so both find it
+    exact = near_dedup(
+        df, "doc_id", "text", method="exact",
+        gram=5, jaccard_threshold=0.8, max_block_size=500,
+    )
     df = near_dedup(
         df, "doc_id", "text",
         gram=5, num_hashes=16, bands=8,
@@ -66,6 +72,7 @@ def test_stage_chain(spark):
     )
     ids = sorted(r.doc_id for r in df.select("doc_id").collect())
     assert ids == [2, 3, 6]  # 5 lost to 3 (near-dup cluster min-id)
+    assert sorted(r.doc_id for r in exact.select("doc_id").collect()) == ids
 
 
 def test_sentence_stage_rewrites_text(spark):

@@ -89,3 +89,39 @@ def test_threshold_guard(spark):
         jaccard_join(df, "doc_id", "text", threshold=0.0)
     with pytest.raises(ValueError):
         jaccard_join(df, "doc_id", "text", threshold=1.5)
+
+
+def test_near_dedup_exact_mode(spark):
+    """near_dedup(method='exact') keeps exactly one representative per
+    naive-Jaccard duplicate cluster — and, unlike LSH banding, cannot
+    miss a pair, so the survivor set is derivable from the naive twin."""
+    from deezymatch_spark.operators import near_dedup
+
+    docs = corpus(seed=11, n=40)
+    df = spark.createDataFrame(
+        [(i, t.lower()) for i, t in docs.items()], "doc_id long, text string"
+    )
+    out = near_dedup(
+        df, "doc_id", "text", method="exact",
+        jaccard_threshold=0.5, gram=5,
+        max_block_size=123,  # accepted and ignored by the exact path
+    )
+    # union-find over naive pairs -> min-id representative per cluster
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in naive(docs, 0.5):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {i for i in parent if find(i) != i}
+    # docs with empty gram sets are untouched by dedup (no pairs)
+    want = set(docs) - losers
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == want
