@@ -1328,8 +1328,15 @@ def q_minhash_dup_pairs(spark, sf):
     same corpus — recall-complete, so its DuckDB twin is the NAIVE
     all-pairs Jaccard (with only the provably-implied size prefilter),
     which grades the completeness theorem itself, not a re-derivation
-    of the algorithm."""
-    from deezymatch_spark.operators import jaccard_join
+    of the algorithm. 'ed' rows (r4) = the exact edit-distance join
+    (operators/edjoin.py:edit_distance_join, Ed-Join/Gravano q-gram
+    family) at k=2 over ascii-normalized 12-char title-ish prefixes
+    (originals + a planted mid-string substitution at id+1e6) — also
+    recall-complete, also graded against the NAIVE all-pairs DuckDB
+    levenshtein, so the hash gate tests the padded-q-gram prefix
+    theorem itself; the value column carries the integer edit
+    DISTANCE (as double) for these rows, not a Jaccard."""
+    from deezymatch_spark.operators import edit_distance_join, jaccard_join
 
     corpus = _neardup_corpus(spark, sf)
     lsh = minhash_dup_pairs(
@@ -1346,7 +1353,33 @@ def q_minhash_dup_pairs(spark, sf):
         F.lit("pp").alias("kind"),
         "id1", "id2", F.round("jaccard", 6).alias("jaccard"),
     )
-    return lsh.unionByName(pp)
+    # ascii-strip BEFORE lower: lower() on pure ascii is engine-
+    # identical, while unicode case folding is not guaranteed to be
+    ed_src = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.lower(
+                F.regexp_replace(
+                    F.substring("text", 1, 12), "[^A-Za-z0-9 ]", ""
+                )
+            ).alias("s"),
+        )
+    )
+    ed_mut = ed_src.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("s", 1, 5), F.lit("x"), F.expr("substring(s, 7)")
+        ).alias("s"),
+    )
+    ed = edit_distance_join(
+        ed_src.unionByName(ed_mut), "doc_id", "s", k=2, gram=2
+    ).select(
+        F.lit("ed").alias("kind"),
+        "id1", "id2", F.col("distance").cast("double").alias("jaccard"),
+    )
+    return lsh.unionByName(pp).unionByName(ed)
 
 
 def q_minhash_dup_pairs_bench(spark, sf):
@@ -2688,7 +2721,28 @@ def oracle_sql() -> dict[str, str]:
             from j where jaccard >= 0.3
             union all
             select 'pp', id1, id2, round(jac, 6)
-            from ppj where jac >= 0.5""",
+            from ppj where jac >= 0.5
+            union all
+            -- edit-distance twin: naive all-pairs Levenshtein over the
+            -- ascii-normalized 12-char prefixes + planted substitution
+            -- (the Spark side is the prefix-filtered edjoin — this
+            -- grades its completeness theorem)
+            select 'ed', id1, id2, cast(d as double) from (
+              with eds as (
+                select doc_id,
+                  lower(regexp_replace(substr(text, 1, 12),
+                                       '[^A-Za-z0-9 ]', '', 'g')) as s
+                from documents where doc_id < 300),
+              edall as (
+                select doc_id, s from eds
+                union all
+                select doc_id + 1000000,
+                       substr(s, 1, 5) || 'x' || substr(s, 7)
+                from eds)
+              select a.doc_id as id1, b.doc_id as id2,
+                     levenshtein(a.s, b.s) as d
+              from edall a join edall b on a.doc_id < b.doc_id)
+            where d <= 2""",
         "near_dedup_docs": f"""
             with recursive {neardup_ctes},
             {closure_ctes}

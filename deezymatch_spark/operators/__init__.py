@@ -68,6 +68,7 @@ from .graphrank import pagerank_micro
 from .linkage import link_records, mutual_best_matches
 from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
+from .edjoin import edit_distance_join
 from .ssjoin import jaccard_join
 from .snm import sorted_neighborhood_pairs
 from .sessions import session_stats, sessionize
@@ -117,6 +118,7 @@ __all__ = [
     "pagerank_micro",
     "profile_columns", "top_values",
     "mutual_best_matches",
+    "edit_distance_join",
     "jaccard_join",
     "sorted_neighborhood_pairs",
     "candidate_ranker", "validate_ranker_args",

@@ -1,0 +1,161 @@
+"""Exact edit-distance self-join via q-gram prefix filtering (Ed-Join
+family: Gravano et al. VLDB'01 q-gram count/length filtering; Xiao,
+Wang & Lin VLDB'08 prefix filtering for edit-distance constraints).
+
+The edit-distance sibling of ``ssjoin.jaccard_join``: the blocked
+scorer in ``operators/blocking.py`` (the flagship's candidate
+generator, ref ``candidateRanker.py:381-510``'s adaptive search
+re-expressed as a join) is RECALL-TUNED — its g:/w: key families catch
+>0.999 of true pairs on title-shaped data but carry no guarantee.
+This join is recall-COMPLETE: every pair of strings within Levenshtein
+distance ``k`` is emitted, provably. At web scale you run the blocked
+scorer for the ranked-candidate sweep and this join when the contract
+is "EVERY string pair within k edits, exactly" (e.g. aliasing audits,
+gold-set construction for the F1 gate, legal-grade identifier
+matching).
+
+Theorems used (all standard; q = gram size, k = max edit distance):
+- padded positional grams: each string is padded with q-1 begin and
+  q-1 end sentinels, giving a BAG of m = len + q - 1 grams (so even
+  the empty string has q-1 >= 1 grams and no string escapes the
+  filter);
+- bag mismatch bound: one edit changes the contents of at most q
+  grams, so ed(s1,s2) <= k implies the bag difference |B1 \\ B2| has
+  at most k*q elements;
+- occurrence tagging: tagging the j-th occurrence of a gram (in
+  position order) with j turns bags into sets WITHOUT breaking the
+  bound — if an edit removes one of several equal grams, the tagged
+  sets still differ by exactly the multiset difference (the tags
+  renumber, the contents collapse);
+- prefix filter: sort each tagged set by a GLOBAL total order
+  (ascending corpus frequency, ties by token — rarest first, which is
+  also the skew defense: hot grams sort to the suffix and never
+  become join keys); if two sets overlap in all but k*q elements they
+  must share one of their first k*q + 1 elements;
+- length filter: ed(s1,s2) >= |len1 - len2|, fused into the join
+  condition;
+- short-string completeness: when BOTH strings have m <= k*q the
+  required overlap is <= 0 and the prefix theorem says nothing — such
+  strings (len <= q*(k-1) + 1, e.g. <= 3 chars at q=2,k=2) also emit
+  one shared sentinel key, so ultra-short pairs meet there. The
+  sentinel block is quadratic in the number of ULTRA-SHORT strings
+  only; on web corpora that sliver is tiny and collapses further
+  under exact dedup — documented trade, not a silent cap.
+
+Everything is integer arithmetic (k, q, lengths) — there is no float
+anywhere a completeness theorem could round through (the lesson
+ssjoin.py's micro-int ceil encodes applies here for free).
+
+Spark shape: one map-combined frequency aggregation over tagged grams,
+one shuffle join of exploded gram rows to their frequencies (the
+frequency table is vocabulary-sized — too big to broadcast at 10^12
+docs, so it shuffles on the gram key), one per-record window to rank
+grams, then the prefix self-join with the length gate fused into the
+join condition, a distinct on bare (id1, id2), and verification by
+Spark's builtin threshold Levenshtein (``levenshtein(t1, t2, k)``,
+whole-stage codegen with early exit — the candidate strings join back
+by id so texts never ride the pair shuffle). No driver-side state, no
+collect, no cap that silently drops recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["edit_distance_join"]
+
+_PAD_L = "\x01"
+_PAD_R = "\x02"
+_TAG = "\x00"  # joins gram content to its occurrence tag
+_SHORT = "\x00SHORT"  # longer than any q-gram -> can never collide
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 2,
+    gram: int = 2,
+) -> DataFrame:
+    """→ DataFrame[id1, id2, distance] — ALL pairs (id1 < id2) with
+    Levenshtein distance <= ``k``. Exact: recall-complete by the
+    padded-q-gram prefix theorem (plus the short-string sentinel
+    block), precision-complete by the builtin threshold-Levenshtein
+    verification. See module docstring for theorems and plan shape."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (k=0 is exact dedup — use "
+                         "dedup.exact_duplicates)")
+    if gram < 2:
+        raise ValueError("gram must be >= 2 (q=1 prefixes are the "
+                         "whole alphabet — no pruning)")
+    q, prefix_len = gram, k * gram + 1
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).cast("string").alias("t"),
+    ).where(F.col("t").isNotNull())
+
+    padded = F.concat(
+        F.lit(_PAD_L * (q - 1)), F.col("t"), F.lit(_PAD_R * (q - 1))
+    )
+    grams = F.expr(
+        f"transform(sequence(1, length(_padded) - {q - 1}), "
+        f"i -> substring(_padded, i, {q}))"
+    )
+    tok = (
+        base.withColumn("_padded", padded)
+        .select(
+            "id",
+            F.length("t").alias("n"),
+            F.posexplode(grams).alias("pos", "g"),
+        )
+        .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("id", "g").orderBy("pos")
+            ),
+        )
+        .select(
+            "id", "n",
+            F.concat(F.col("g"), F.lit(_TAG), F.col("occ")).alias("token"),
+        )
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("df_cnt"))
+    ranked = tok.join(freq, "token").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df_cnt", "token")
+        ),
+    )
+    prefix = ranked.where(F.col("rk") <= prefix_len).select(
+        "token", "id", "n"
+    )
+    # m = n + q - 1 <= k*q  ⟺  n <= q*(k-1) + 1: below that, a pair
+    # can be within k edits yet share zero grams — the sentinel block
+    short = base.where(F.length("t") <= q * (k - 1) + 1).select(
+        F.lit(_SHORT).alias("token"), "id", F.length("t").alias("n")
+    )
+    keys = prefix.unionByName(short)
+
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n") - F.col("b.n") <= k)
+            & (F.col("b.n") - F.col("a.n") <= k),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    t1 = base.select(F.col("id").alias("id1"), F.col("t").alias("t1"))
+    t2 = base.select(F.col("id").alias("id2"), F.col("t").alias("t2"))
+    return (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("distance", F.levenshtein("t1", "t2", k))
+        .where(F.col("distance") >= 0)
+        .select("id1", "id2", F.col("distance").cast("long").alias("distance"))
+    )
