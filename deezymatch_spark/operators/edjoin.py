@@ -1,4 +1,4 @@
-"""Exact edit-distance self-join via q-gram prefix filtering (Ed-Join
+"""Exact edit-distance join via q-gram prefix filtering (Ed-Join
 family: Gravano et al. VLDB'01 q-gram count/length filtering; Xiao,
 Wang & Lin VLDB'08 prefix filtering for edit-distance constraints).
 
@@ -12,7 +12,9 @@ distance ``k`` is emitted, provably. At web scale you run the blocked
 scorer for the ranked-candidate sweep and this join when the contract
 is "EVERY string pair within k edits, exactly" (e.g. aliasing audits,
 gold-set construction for the F1 gate, legal-grade identifier
-matching).
+matching). The two-table mode (``other=``) is the exact-recall twin of
+``linkage.link_records`` — query table vs candidate table, the
+reference's ranking contract with a hard edit budget.
 
 Theorems used (all standard; q = gram size, k = max edit distance):
 - padded positional grams: each string is padded with q-1 begin and
@@ -46,16 +48,20 @@ Everything is integer arithmetic (k, q, lengths) — there is no float
 anywhere a completeness theorem could round through (the lesson
 ssjoin.py's micro-int ceil encodes applies here for free).
 
-Spark shape: one map-combined frequency aggregation over tagged grams,
-one shuffle join of exploded gram rows to their frequencies (the
-frequency table is vocabulary-sized — too big to broadcast at 10^12
-docs, so it shuffles on the gram key), one per-record window to rank
-grams, then the prefix self-join with the length gate fused into the
-join condition, a distinct on bare (id1, id2), and verification by
-Spark's builtin threshold Levenshtein (``levenshtein(t1, t2, k)``,
-whole-stage codegen with early exit — the candidate strings join back
-by id so texts never ride the pair shuffle). No driver-side state, no
-collect, no cap that silently drops recall.
+Spark shape: one map-combined frequency aggregation over tagged grams
+(in two-table mode the frequency — hence the prefix order — is
+computed over the UNION of both sides: any consistent total order
+satisfies the theorem, and union frequency puts grams hot on EITHER
+side into the suffix), one shuffle join of exploded gram rows to their
+frequencies (the frequency table is vocabulary-sized — too big to
+broadcast at 10^12 docs, so it shuffles on the gram key), one
+per-record window to rank grams, then the prefix join with the length
+gate fused into the join condition, a distinct on bare (id1, id2), and
+verification by Spark's builtin threshold Levenshtein
+(``levenshtein(t1, t2, k)``, whole-stage codegen with early exit — the
+candidate strings join back by id so texts never ride the pair
+shuffle). No driver-side state, no collect, no cap that silently drops
+recall.
 """
 
 from __future__ import annotations
@@ -70,6 +76,14 @@ _TAG = "\x00"  # joins gram content to its occurrence tag
 _SHORT = "\x00SHORT"  # longer than any q-gram -> can never collide
 
 
+def _side(df: DataFrame, id_col: str, text_col: str, tag: str) -> DataFrame:
+    return df.select(
+        F.lit(tag).alias("side"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).cast("string").alias("t"),
+    ).where(F.col("t").isNotNull())
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
@@ -77,12 +91,21 @@ def edit_distance_join(
     *,
     k: int = 2,
     gram: int = 2,
+    other: DataFrame | None = None,
+    other_id_col: str | None = None,
+    other_text_col: str | None = None,
 ) -> DataFrame:
-    """→ DataFrame[id1, id2, distance] — ALL pairs (id1 < id2) with
-    Levenshtein distance <= ``k``. Exact: recall-complete by the
-    padded-q-gram prefix theorem (plus the short-string sentinel
-    block), precision-complete by the builtin threshold-Levenshtein
-    verification. See module docstring for theorems and plan shape."""
+    """→ DataFrame[id1, id2, distance] — ALL pairs with Levenshtein
+    distance <= ``k``. Exact: recall-complete by the padded-q-gram
+    prefix theorem (plus the short-string sentinel block),
+    precision-complete by the builtin threshold-Levenshtein
+    verification. See module docstring for theorems and plan shape.
+
+    Self-join mode (``other=None``): pairs within ``df``, id1 < id2.
+    Two-table mode: ``id1`` from ``df``, ``id2`` from ``other`` (ids
+    should come from disjoint spaces, as in ``link_records``); every
+    cross-table pair within ``k`` is emitted, including identical
+    strings at distance 0."""
     if k < 1:
         raise ValueError("k must be >= 1 (k=0 is exact dedup — use "
                          "dedup.exact_duplicates)")
@@ -91,10 +114,16 @@ def edit_distance_join(
                          "whole alphabet — no pruning)")
     q, prefix_len = gram, k * gram + 1
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).cast("string").alias("t"),
-    ).where(F.col("t").isNotNull())
+    base = _side(df, id_col, text_col, "L")
+    if other is not None:
+        base = base.unionByName(
+            _side(
+                other,
+                other_id_col or id_col,
+                other_text_col or text_col,
+                "R",
+            )
+        )
 
     padded = F.concat(
         F.lit(_PAD_L * (q - 1)), F.col("t"), F.lit(_PAD_R * (q - 1))
@@ -106,18 +135,18 @@ def edit_distance_join(
     tok = (
         base.withColumn("_padded", padded)
         .select(
-            "id",
+            "side", "id",
             F.length("t").alias("n"),
             F.posexplode(grams).alias("pos", "g"),
         )
         .withColumn(
             "occ",
             F.row_number().over(
-                Window.partitionBy("id", "g").orderBy("pos")
+                Window.partitionBy("side", "id", "g").orderBy("pos")
             ),
         )
         .select(
-            "id", "n",
+            "side", "id", "n",
             F.concat(F.col("g"), F.lit(_TAG), F.col("occ")).alias("token"),
         )
     )
@@ -125,33 +154,40 @@ def edit_distance_join(
     ranked = tok.join(freq, "token").withColumn(
         "rk",
         F.row_number().over(
-            Window.partitionBy("id").orderBy("df_cnt", "token")
+            Window.partitionBy("side", "id").orderBy("df_cnt", "token")
         ),
     )
     prefix = ranked.where(F.col("rk") <= prefix_len).select(
-        "token", "id", "n"
+        "token", "side", "id", "n"
     )
     # m = n + q - 1 <= k*q  ⟺  n <= q*(k-1) + 1: below that, a pair
     # can be within k edits yet share zero grams — the sentinel block
     short = base.where(F.length("t") <= q * (k - 1) + 1).select(
-        F.lit(_SHORT).alias("token"), "id", F.length("t").alias("n")
+        F.lit(_SHORT).alias("token"), "side", "id",
+        F.length("t").alias("n"),
     )
     keys = prefix.unionByName(short)
 
     a, b = keys.alias("a"), keys.alias("b")
+    if other is None:
+        pairing = F.col("a.id") < F.col("b.id")
+    else:
+        pairing = (F.col("a.side") == "L") & (F.col("b.side") == "R")
     cand = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.id") < F.col("b.id"))
+            & pairing
             & (F.col("a.n") - F.col("b.n") <= k)
             & (F.col("b.n") - F.col("a.n") <= k),
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    t1 = base.select(F.col("id").alias("id1"), F.col("t").alias("t1"))
-    t2 = base.select(F.col("id").alias("id2"), F.col("t").alias("t2"))
+    left = base.where(F.col("side") == "L")
+    right = base if other is None else base.where(F.col("side") == "R")
+    t1 = left.select(F.col("id").alias("id1"), F.col("t").alias("t1"))
+    t2 = right.select(F.col("id").alias("id2"), F.col("t").alias("t2"))
     return (
         cand.join(t1, "id1")
         .join(t2, "id2")

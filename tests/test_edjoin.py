@@ -90,6 +90,39 @@ def test_unicode(spark):
     assert run(spark, docs, 2, 2) == naive(docs, 2)
 
 
+def naive_cross(left, right, k):
+    out = {}
+    for i, s in left.items():
+        for j, t in right.items():
+            d = lev(s, t)
+            if d <= k:
+                out[(i, j)] = d
+    return out
+
+
+@pytest.mark.parametrize("k,q", [(1, 2), (2, 2), (2, 3)])
+def test_two_table_mode(spark, k, q):
+    """R-S mode: every cross-table pair within k, ids disjoint, no
+    within-table pairs; exercises short strings on both sides."""
+    docs = corpus(seed=29, n=30)
+    left = {i: s for i, s in docs.items() if i % 2 == 0}
+    right = {10_000 + i: s for i, s in docs.items() if i % 2 == 1}
+    # planted cross matches incl. identical and ultra-short
+    left[77] = "matchmehere"
+    right[10_777] = "matchmehere"
+    left[78], right[10_778] = "ab", "b"
+    ldf = spark.createDataFrame(list(left.items()), "lid long, lt string")
+    rdf = spark.createDataFrame(list(right.items()), "rid long, rt string")
+    got = {
+        (r["id1"], r["id2"]): r["distance"]
+        for r in edit_distance_join(
+            ldf, "lid", "lt", k=k, gram=q,
+            other=rdf, other_id_col="rid", other_text_col="rt",
+        ).collect()
+    }
+    assert got == naive_cross(left, right, k), (k, q)
+
+
 def test_guards(spark):
     df = None  # guards raise before touching the frame
     with pytest.raises(ValueError):
