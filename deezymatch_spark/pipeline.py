@@ -284,6 +284,60 @@ def preflight_report(
     return blocking_preflight(keys, max_block_size=max_block_size)
 
 
+def exact_recall_audit(
+    docs: DataFrame,
+    cand_pairs: DataFrame,
+    *,
+    lev_max: int = 2,
+    id_col: str = "id",
+    text_col: str = "title_norm",
+    gram: int = 2,
+    sample_fraction: float = 1.0,
+    sample_salt: str = "recall_audit",
+) -> DataFrame:
+    """TRUE blocking recall, not an estimate against a heuristic gold:
+    the gold pair set is every title pair within Levenshtein
+    ``lev_max``, built by the recall-COMPLETE
+    ``operators.edjoin.edit_distance_join`` (complete by the
+    padded-q-gram prefix theorem), so the returned
+    ``pair_completeness_micro`` is exactly the fraction of true
+    lev<=k pairs the blocking scheme kept — the number
+    ``scored_candidate_pairs``'s key families are tuned against
+    (its docstring's "recall 0.9998" claims are measured this way,
+    previously only in pytest).
+
+    → ``blocking_quality``'s 1-row trio (completeness / quality /
+    reduction ratio as exact micro-ints) over ``cand_pairs`` vs the
+    edjoin gold.
+
+    ``sample_fraction`` < 1 audits a deterministic ``hash_sample`` of
+    the corpus instead (both gold and candidates restricted to
+    sampled ids): at 10^12 docs the exact join over ALL titles is
+    itself a real job, while recall measured on a hash-stable 0.1%
+    slice is an unbiased estimate that re-runs identically — the same
+    retry-stable sampling contract as the corpus job's ``--sample``.
+    """
+    from .operators.edjoin import edit_distance_join
+    from .operators.metrics import blocking_quality
+    from .operators.sampling import hash_sample
+
+    d = docs.select(id_col, text_col)
+    cand = cand_pairs
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    if sample_fraction < 1.0:
+        d = hash_sample(d, id_col, sample_fraction, salt=sample_salt)
+        ids = d.select(F.col(id_col).alias("_aid"))
+        cand = (
+            cand.join(ids, cand.id1 == F.col("_aid"), "left_semi")
+            .join(ids, cand.id2 == F.col("_aid"), "left_semi")
+        )
+    gold = edit_distance_join(
+        d, id_col, text_col, k=lev_max, gram=gram
+    ).select("id1", "id2")
+    return blocking_quality(cand.select("id1", "id2"), gold, d.count())
+
+
 def er_stages(
     pages: DataFrame,
     *,

@@ -64,6 +64,16 @@ def main() -> None:
                          "pass, no pair join) and exit — run this first "
                          "on big inputs to choose --max-block-size and "
                          "--shuffle-partitions")
+    ap.add_argument("--audit-recall", type=float, default=0.0,
+                    metavar="FRACTION",
+                    help="after clustering, measure the TRUE blocking "
+                         "recall (batch mode only): gold = every title "
+                         "pair within --lev-max edits via the recall-"
+                         "complete exact edit-distance join, candidates "
+                         "= the blocked pair universe; FRACTION < 1 "
+                         "audits a deterministic hash sample of the "
+                         "corpus (at 10^12 docs run the audit on a "
+                         "slice, not the corpus)")
     ap.add_argument("--incremental-state",
                     help="persistent ER state dir: fold the input into the "
                          "existing clustering (bootstraps on first run) "
@@ -80,6 +90,10 @@ def main() -> None:
     if args.incremental_state and args.stats_output:
         ap.error("--stats-output is batch-only; run a batch job over the "
                  "state's pages to audit an incremental clustering")
+    if args.incremental_state and args.audit_recall:
+        ap.error("--audit-recall is batch-only")
+    if args.audit_recall and not 0.0 < args.audit_recall <= 1.0:
+        ap.error("--audit-recall must be in (0, 1]")
 
     from pyspark.sql import SparkSession
 
@@ -165,6 +179,21 @@ def main() -> None:
                 n_tree = spark.read.parquet(args.stats_output).where("is_tree").count()
                 print(f"cluster stats written to {args.stats_output} "
                       f"({n_tree} tree-like chain-risk clusters)")
+            if args.audit_recall:
+                from deezymatch_spark.pipeline import exact_recall_audit
+
+                audit = exact_recall_audit(
+                    stages["docs"], stages["pairs"],
+                    lev_max=args.lev_max,
+                    sample_fraction=args.audit_recall,
+                ).collect()[0]
+                print(
+                    "blocking recall audit (exact lev<="
+                    f"{args.lev_max} gold, fraction={args.audit_recall}): "
+                    f"pair_completeness_micro={audit['pair_completeness_micro']} "
+                    f"gold={audit['n_gold']} cand={audit['n_cand']} "
+                    f"found={audit['n_found']}"
+                )
         finally:
             stages["release"]()
         print(
