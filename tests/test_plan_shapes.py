@@ -172,3 +172,18 @@ def test_session_stats_single_exchange_partial_agg(spark):
     # distinct agg forces separate update/merge, MergingSessions when
     # the partial aggregation fuses)
     assert any("Sessions" in o for o in ops), ops
+
+
+def test_edit_distance_join_no_python_no_cartesian(spark):
+    """edjoin: zero Python anywhere (grams/tagging/ranking/verify are
+    all codegen or window work), and the pair step is a real equi-join
+    on the gram token — never a cartesian/nested-loop (the sentinel is
+    just another key). Verification levenshtein rides a join, not a
+    UDF."""
+    from deezymatch_spark.operators import edit_distance_join
+
+    d = _docs(spark).select("doc_id", F.substring("text", 1, 12).alias("s"))
+    out = edit_distance_join(d, "doc_id", "s", k=2, gram=2)
+    ops = _ops(out)
+    assert _python(ops) == [], ops
+    assert not any("Cartesian" in o or "NestedLoop" in o for o in ops), ops
