@@ -7,6 +7,7 @@ from .ops import (
     streaming_pages_normalize,
     streaming_session_stats,
     streaming_user_sessions,
+    streaming_window_matches,
     windowed_event_counts,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_session_stats",
     "streaming_user_sessions",
+    "streaming_window_matches",
     "release_query_caches",
 ]

@@ -25,6 +25,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_session_stats",
     "streaming_user_sessions",
+    "streaming_window_matches",
     "release_query_caches",
 ]
 
@@ -300,6 +301,109 @@ def streaming_user_sessions(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_window_matches(
+    docs_stream: DataFrame,
+    *,
+    ts_col: str = "warc_ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    lev_max: int = 2,
+    ngram: int = 3,
+    use_minhash: bool = False,
+    hot_keys: DataFrame | None = None,
+    dedup_pairs: bool = True,
+) -> DataFrame:
+    """Within-horizon ER self-matching as a STREAM-STREAM join: every
+    pair of pages arriving within ``horizon`` of each other that shares
+    a blocking key and passes the Levenshtein gate. The continuous twin
+    of the batch pair stage for the freshness question batch can't
+    answer — "is this page a near-duplicate of anything else in the
+    current crawl window?" — with state Spark evicts by watermark
+    instead of a corpus-sized index.
+
+    ``docs_stream`` needs (id, title_norm, ``ts_col``) — i.e.
+    ``streaming_pages_normalize`` output. Shape:
+
+    - blocking keys are the SAME pure-projection families as batch
+      (``blocking_keys`` — exploded expressions, stateless, identical
+      code path), int64-hashed, with the normalized title riding each
+      key row as payload (a stream cannot join strings back later);
+    - both join sides carry a ``withWatermark`` and the join condition
+      bounds each side's event time against the other
+      (|Δts| <= horizon), which is exactly what lets Spark drop
+      buffered rows once the watermark passes — state is
+      O(rows per horizon × keys per row), independent of corpus size;
+    - the length gate and the threshold Levenshtein
+      (``levenshtein(t1, t2, lev_max)``, early-exit codegen) are fused
+      into the join condition, so non-candidates never reach the
+      emitted stream;
+    - hot-key capping needs GLOBAL key counts, which a stream cannot
+      aggregate without another stateful pass — so the cap arrives as
+      a static ``hot_keys`` frame (one ``block_key`` string column:
+      build it with ``blocking_preflight`` over a recent batch slice,
+      refresh on redeploy), broadcast-anti-joined before hashing. The
+      batch pipeline's cap is adaptive; the stream's is a pinned
+      config — documented operational trade;
+    - a pair sharing several keys would emit once per key:
+      ``dedup_pairs=True`` chains ``dropDuplicatesWithinWatermark`` on
+      (id1, id2) — dedup state is evicted on the same watermark. A
+      pair re-co-occurring AFTER the watermark horizon re-emits (it is
+      a new co-occurrence event — by design).
+
+    → streaming DataFrame [id1, id2, ts1, ts2, lev] (append mode;
+    inner stream-stream joins emit on match, no watermark wait)."""
+    docs = docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # ride (id, ts) through blocking_keys as a struct id — key rows
+    # need the timestamp and a stream cannot join it back afterwards
+    tagged = docs.select(
+        F.struct(F.col("id"), F.col(ts_col).alias("ts")).alias("_sid"),
+        "title_norm",
+    )
+    keys = blocking_keys(
+        tagged, "_sid", "title_norm",
+        ngram=ngram, use_minhash=use_minhash, payload=True,
+    )
+    if hot_keys is not None:
+        keys = keys.join(
+            F.broadcast(hot_keys.select("block_key")), "block_key", "left_anti"
+        )
+    keys = _hash_block_keys(keys)
+
+    def side(n: int) -> DataFrame:
+        return keys.select(
+            F.col("block_key"),
+            F.col("id.id").alias(f"id{n}"),
+            F.col("id.ts").alias(f"ts{n}"),
+            F.col("_k").alias(f"t{n}"),
+        ).withWatermark(f"ts{n}", watermark)
+
+    a, b = side(1), side(2)
+    iv = f"interval {horizon}"
+    lev = F.levenshtein(F.col("t1"), F.col("t2"), lev_max)
+    pairs = a.join(
+        b,
+        (a["block_key"] == b["block_key"])
+        & (F.col("id1") < F.col("id2"))
+        & (F.col("ts2") >= F.expr(f"ts1 - {iv}"))
+        & (F.col("ts2") <= F.expr(f"ts1 + {iv}"))
+        & (F.length("t1") - F.length("t2") <= lev_max)
+        & (F.length("t2") - F.length("t1") <= lev_max)
+        & (lev >= 0),
+    ).select(
+        "id1", "id2", "ts1",
+        # demote ts2 from event-time to plain data: the join output
+        # carries BOTH sides' watermark tags, and a downstream stateful
+        # op (the pair dedup) requires exactly one event-time column.
+        # An arithmetic alias strips the attribute's watermark metadata
+        # (a bare rename would keep it); ts1 stays the event time.
+        F.expr("ts2 + interval 0 seconds").alias("ts2"),
+        lev.alias("lev"),
+    )
+    if dedup_pairs:
+        pairs = pairs.dropDuplicatesWithinWatermark(["id1", "id2"])
+    return pairs
 
 
 def streaming_entity_matches(

@@ -183,3 +183,100 @@ def test_streaming_exact_dedup(spark, tmp_path):
     alpha_id = next(r.doc_id for r in got if r.text == "alpha body")
     assert alpha_id in (1, 2, 3)
     assert {r.doc_id for r in got if r.text != "alpha body"} == {4, 5}
+
+
+def test_streaming_window_matches_parity_with_batch_twin(spark, tmp_path):
+    """Stream-stream within-horizon self-match == batch twin: pairs
+    sharing >= 1 blocking key with |dts| <= horizon and lev <= 2,
+    each unordered pair exactly once (dedup_pairs)."""
+    from deezymatch_spark.streaming import streaming_window_matches
+    from deezymatch_spark.streaming.ops import streaming_pages_normalize
+    from deezymatch_spark.operators.blocking import _hash_block_keys, blocking_keys
+
+    src = str(tmp_path / "pages_ss")
+    pages = generate_pages(spark, 600, with_truth=False)
+    pages.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = streaming_window_matches(
+        streaming_pages_normalize(stream),
+        horizon="10 minutes", watermark="30 minutes", lev_max=2,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ss_matches")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.id1, r.id2): r.lev
+        for r in spark.sql("select * from ss_matches").collect()
+    }
+
+    # batch twin over the same rows, naive join on the same hashed keys
+    docs = streaming_pages_normalize(spark.read.parquet(src))
+    keys = _hash_block_keys(
+        blocking_keys(docs, "id", "title_norm", use_minhash=False, payload=True)
+    ).join(docs.select("id", F.col("warc_ts").alias("ts")), "id")
+    a, b = keys.alias("a"), keys.alias("b")
+    want = {
+        ((r.id1, r.id2)): r.lev
+        for r in a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(
+            (F.abs(F.col("a.ts").cast("long") - F.col("b.ts").cast("long")) <= 600)
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein(F.col("a._k"), F.col("b._k"), 2).alias("lev"),
+        )
+        .where(F.col("lev") >= 0)
+        .distinct()
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_streaming_window_matches_hot_key_filter(spark, tmp_path):
+    """A static hot-key blocklist removes those keys from BOTH sides
+    before the join — pairs reachable only through a listed key vanish."""
+    from deezymatch_spark.streaming import streaming_window_matches
+    from deezymatch_spark.streaming.ops import streaming_pages_normalize
+
+    src = str(tmp_path / "pages_hk")
+    pages = generate_pages(spark, 200, with_truth=False)
+    pages.write.parquet(src)
+
+    def run(hot):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        out = streaming_window_matches(
+            streaming_pages_normalize(stream),
+            horizon="10 minutes", watermark="30 minutes",
+            hot_keys=hot,
+        )
+        name = f"hk_{0 if hot is None else 1}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return {(r.id1, r.id2) for r in spark.sql(f"select * from {name}").collect()}
+
+    base = run(None)
+    # blocklist EVERY w: key -> only gram keys remain; must be a subset
+    docs = streaming_pages_normalize(spark.read.parquet(src))
+    from deezymatch_spark.operators.blocking import blocking_keys
+
+    wkeys = (
+        blocking_keys(docs, "id", "title_norm", use_minhash=False)
+        .where(F.col("block_key").startswith("w:"))
+        .select("block_key").distinct()
+    )
+    filtered = run(wkeys)
+    assert filtered <= base
