@@ -291,7 +291,7 @@ def exact_recall_audit(
     lev_max: int = 2,
     id_col: str = "id",
     text_col: str = "title_norm",
-    gram: int = 2,
+    gram: int = 4,
     sample_fraction: float = 1.0,
     sample_salt: str = "recall_audit",
 ) -> DataFrame:
