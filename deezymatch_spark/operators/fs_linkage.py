@@ -82,15 +82,26 @@ __all__ = [
 _P_FLOOR = 1e-6
 
 
-def lev_level(left: Column, right: Column, *, fuzzy_max_lev: int) -> Column:
+def lev_level(
+    left: Column, right: Column, *, fuzzy_max_lev: int,
+    null_level: bool = False,
+) -> Column:
     """3-level string agreement: 2 = exact equal, 1 = levenshtein <=
-    ``fuzzy_max_lev``, 0 = disagree. NULL on either side compares at
-    level 0 (absence is evidence of nothing — the standard FS
-    convention is a separate level, but web-crawl fields are dense and
-    a 3-level gate keeps the contingency tiny). Pure codegen — Spark's
-    built-in ``levenshtein`` short-circuits on the equality arm."""
+    ``fuzzy_max_lev``, 0 = disagree. Pure codegen — Spark's built-in
+    ``levenshtein`` short-circuits on the equality arm.
+
+    NULL on either side: by default level 0 (cheap, dense-field
+    convention — disagreement and absence share a cell).
+    ``null_level=True`` emits the sentinel **-1** instead — Splink's
+    null-level treatment: the field is EXCLUDED from evidence for that
+    pair (0 bits in :func:`fs_score`) and from the EM's m/u mass for
+    that pattern (:func:`py_fs_em` — the MAR missing-data E/M steps).
+    Use it when the field is actually sparse (anchors, bylines,
+    dates); level-0 nulls there would teach EM that missingness means
+    mismatch and depress every pair with an absent field."""
+    null = F.lit(-1) if null_level else F.lit(0)
     return (
-        F.when(left.isNull() | right.isNull(), F.lit(0))
+        F.when(left.isNull() | right.isNull(), null)
         .when(left == right, F.lit(2))
         .when(F.levenshtein(left, right) <= F.lit(int(fuzzy_max_lev)), F.lit(1))
         .otherwise(F.lit(0))
@@ -98,11 +109,16 @@ def lev_level(left: Column, right: Column, *, fuzzy_max_lev: int) -> Column:
     )
 
 
-def abs_diff_level(left: Column, right: Column, *, fuzzy_max_diff: int) -> Column:
+def abs_diff_level(
+    left: Column, right: Column, *, fuzzy_max_diff: int,
+    null_level: bool = False,
+) -> Column:
     """3-level numeric agreement: 2 = equal, 1 = |diff| <=
-    ``fuzzy_max_diff``, 0 = otherwise / NULL."""
+    ``fuzzy_max_diff``, 0 = otherwise. NULLs: level 0 by default,
+    sentinel -1 with ``null_level=True`` (see :func:`lev_level`)."""
+    null = F.lit(-1) if null_level else F.lit(0)
     return (
-        F.when(left.isNull() | right.isNull(), F.lit(0))
+        F.when(left.isNull() | right.isNull(), null)
         .when(left == right, F.lit(2))
         .when(F.abs(left - right) <= F.lit(int(fuzzy_max_diff)), F.lit(1))
         .otherwise(F.lit(0))
@@ -172,12 +188,25 @@ def py_fs_em(
     matches instead of match-vs-nonmatch (observed: pipeline recall
     0.17 with free u, 1.0 with random-pair u). Estimate it with
     :func:`u_probs_from_counts` over :func:`random_pairs`.
+
+    Missing data: level ``-1`` in a pattern (the ``null_level=True``
+    sentinel) means the field was unobserved for those pairs. Standard
+    MAR mixture EM: the field contributes NO likelihood term to the
+    E-step for that pattern, and the M-step normalizes each field's
+    m/u over the responsibility mass of the patterns where the field
+    IS observed (a field observed nowhere falls back to uniform).
     """
     if not counts:
         raise ValueError("py_fs_em: empty contingency")
     k = len(field_names)
     if any(len(p) != k for p in counts):
         raise ValueError("py_fs_em: pattern arity != number of fields")
+    if any(
+        l < -1 or l >= nl
+        for p in counts
+        for l, nl in zip(p, n_levels)
+    ):
+        raise ValueError("py_fs_em: level outside [-1, n_levels)")
     pats = sorted(counts)
     ns = [float(counts[p]) for p in pats]
     total = sum(ns)
@@ -200,27 +229,33 @@ def py_fs_em(
         u = [[1.0 / nl] * nl for nl in n_levels]
     for _ in range(iters):
         # E-step: responsibility of the match class per pattern
+        # (missing fields, l == -1, contribute no likelihood term)
         ws = []
         for p in pats:
             pm, pu = lam, 1.0 - lam
             for i, l in enumerate(p):
-                pm *= m[i][l]
-                pu *= u[i][l]
+                if l >= 0:
+                    pm *= m[i][l]
+                    pu *= u[i][l]
             ws.append(pm / (pm + pu) if (pm + pu) > 0 else 0.0)
-        # M-step over the (tiny) contingency
+        # M-step over the (tiny) contingency; each field normalizes
+        # over the mass of patterns where it is OBSERVED
         wm = sum(w * n for w, n in zip(ws, ns))
-        wu = total - wm
         lam = wm / total
         for i, nl in enumerate(n_levels):
             ml = [0.0] * nl
+            wm_i = wu_i = 0.0
+            ul = [0.0] * nl
             for p, w, n in zip(pats, ws, ns):
+                if p[i] < 0:
+                    continue
                 ml[p[i]] += w * n
-            m[i] = [x / wm if wm > 0 else 1.0 / nl for x in ml]
+                wm_i += w * n
+                ul[p[i]] += (1.0 - w) * n
+                wu_i += (1.0 - w) * n
+            m[i] = [x / wm_i if wm_i > 0 else 1.0 / nl for x in ml]
             if fixed_u is None:
-                ul = [0.0] * nl
-                for p, w, n in zip(pats, ws, ns):
-                    ul[p[i]] += (1.0 - w) * n
-                u[i] = [x / wu if wu > 0 else 1.0 / nl for x in ul]
+                u[i] = [x / wu_i if wu_i > 0 else 1.0 / nl for x in ul]
     return FSParams(
         lam=lam,
         m={f: m[i] for i, f in enumerate(field_names)},
@@ -266,7 +301,8 @@ def collect_pattern_counts(
     counts: dict[tuple[int, ...], int] = {}
     for r in rows:
         pat = tuple(int(r[f"gamma_{f}"]) for f in field_names)
-        if any(l < 0 or l >= nl for l, nl in zip(pat, n_levels)):
+        # -1 = the null-level sentinel (field unobserved) — valid
+        if any(l < -1 or l >= nl for l, nl in zip(pat, n_levels)):
             raise ValueError(
                 f"pattern {pat} outside n_levels {n_levels}"
             )
@@ -283,16 +319,25 @@ def u_probs_from_counts(
     estimate when the contingency comes from :func:`random_pairs`
     (random pairs are non-matches w.p. ~1, Splink's
     ``estimate_u_using_random_sampling``). Zero-count levels floor at
-    ``_P_FLOOR`` so downstream weights stay finite."""
+    ``_P_FLOOR`` so downstream weights stay finite. Level ``-1``
+    (null sentinel) rows are excluded from that field's marginal —
+    each field normalizes over the pairs where it was observed; a
+    field observed nowhere gets the uniform distribution."""
     total = sum(counts.values())
     if total <= 0:
         raise ValueError("u_probs_from_counts: empty contingency")
     out: dict[str, list[float]] = {}
     for i, (f, nl) in enumerate(zip(field_names, n_levels)):
         marg = [0] * nl
+        obs = 0
         for p, n in counts.items():
-            marg[p[i]] += n
-        out[f] = [max(x / total, _P_FLOOR) for x in marg]
+            if p[i] >= 0:
+                marg[p[i]] += n
+                obs += n
+        if obs == 0:
+            out[f] = [1.0 / nl] * nl
+        else:
+            out[f] = [max(x / obs, _P_FLOOR) for x in marg]
     return out
 
 
@@ -362,13 +407,20 @@ def fs_score(
     literals and the sum runs inside whole-stage codegen. Posterior
     probability, when needed, is the monotone transform
     ``sigmoid(log(2)*(weight + log2(lam/(1-lam))))`` of this column —
-    kept out of the frame so the graded output stays integer-exact."""
+    kept out of the frame so the graded output stays integer-exact.
+    The null-level sentinel (gamma = -1) scores 0 bits — an
+    unobserved field is no evidence either way (the weight array is
+    prepended with a 0 slot so the lookup stays a branch-free
+    ``element_at``)."""
     if not weights_micro:
         raise ValueError("fs_score: empty weight table (fit first)")
     expr = F.lit(0).cast("long")
     for f, ws in sorted(weights_micro.items()):
-        arr = F.array(*[F.lit(int(w)).cast("long") for w in ws])
-        expr = expr + F.element_at(arr, F.col(f"gamma_{f}") + 1)
+        arr = F.array(
+            F.lit(0).cast("long"),
+            *[F.lit(int(w)).cast("long") for w in ws],
+        )
+        expr = expr + F.element_at(arr, F.col(f"gamma_{f}") + 2)
     return cv.withColumn(out_col, expr)
 
 

@@ -379,3 +379,83 @@ def test_fs_params_table_and_unlinkables(spark):
     # linked at >=1.0 bit: {0,1,8,9}
     assert (row["n_records"], row["n_linkable"], row["n_unlinkable"]) == (10, 4, 6)
     assert row["unlinkable_micro"] == 600_000
+
+
+# ------------------------------------------------------------ null level
+
+
+def test_null_level_sentinel_levels(spark):
+    """null_level=True: NULL on either side -> -1; observed values
+    keep the 0/1/2 levels unchanged."""
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("abc", "abd"), ("abc", "zzz"),
+         (None, "abc"), ("abc", None), (None, None)],
+        "a string, b string",
+    )
+    got = [
+        (r.g, r.h)
+        for r in df.select(
+            lev_level(F.col("a"), F.col("b"), fuzzy_max_lev=1,
+                      null_level=True).alias("g"),
+            abs_diff_level(F.length("a"), F.length("b"), fuzzy_max_diff=1,
+                           null_level=True).alias("h"),
+        ).collect()
+    ]
+    assert got == [(2, 2), (1, 2), (0, 2), (-1, -1), (-1, -1), (-1, -1)]
+
+
+def test_fs_score_null_level_is_zero_evidence(spark):
+    """gamma = -1 contributes exactly 0 bits: the score of a pattern
+    with a missing field equals the other fields' sum alone."""
+    w = {"x": [-1_000_000, 0, 2_000_000], "y": [-500_000, 0, 1_500_000]}
+    df = spark.createDataFrame(
+        [(2, 2), (2, -1), (-1, 2), (-1, -1), (0, -1)],
+        "gamma_x int, gamma_y int",
+    )
+    got = [r.match_weight_micro for r in fs_score(df, w).collect()]
+    assert got == [3_500_000, 2_000_000, 1_500_000, 0, -1_000_000]
+
+
+def test_em_missing_at_random_recovery():
+    """MAR missingness: hiding field z on a random half of the pairs
+    (independent of class) must not bias the fit — m/u/lambda still
+    recover the plant, and z's estimates match the complete-data run
+    within sampling noise."""
+    rng = random.Random(99)
+    m = [[0.1, 0.9], [0.2, 0.8], [0.15, 0.85]]
+    u = [[0.85, 0.15], [0.75, 0.25], [0.9, 0.1]]
+    lam = 0.3
+    names = ["x", "y", "z"]
+    counts = {}
+    for _ in range(300_000):
+        match = rng.random() < lam
+        pat = [int(rng.random() < (m if match else u)[i][1]) for i in range(3)]
+        if rng.random() < 0.5:
+            pat[2] = -1
+        pat = tuple(pat)
+        counts[pat] = counts.get(pat, 0) + 1
+    fit = py_fs_em(counts, names, [2, 2, 2], iters=120)
+    assert abs(fit.lam - lam) < 0.02
+    for i, f in enumerate(names):
+        for l in range(2):
+            assert abs(fit.m[f][l] - m[i][l]) < 0.03
+            assert abs(fit.u[f][l] - u[i][l]) < 0.03
+
+
+def test_em_field_observed_nowhere_falls_back_uniform():
+    counts = {(1, -1): 700, (0, -1): 300}
+    fit = py_fs_em(counts, ["x", "y"], [2, 2], iters=50)
+    assert fit.m["y"] == [0.5, 0.5]
+    assert fit.u["y"] == [0.5, 0.5]
+    with pytest.raises(ValueError):
+        py_fs_em({(1, -2): 10}, ["x", "y"], [2, 2])
+
+
+def test_u_probs_skip_null_level():
+    from deezymatch_spark.operators.fs_linkage import u_probs_from_counts
+
+    counts = {(1, 1): 50, (0, -1): 50}
+    u = u_probs_from_counts(counts, ["x", "y"], [2, 2])
+    # y observed only in the (1,1) half -> marginal over 50 rows
+    assert u["y"][1] == 1.0 or abs(u["y"][1] - 1.0) < 1e-9
+    assert abs(u["x"][0] - 0.5) < 1e-9 and abs(u["x"][1] - 0.5) < 1e-9
