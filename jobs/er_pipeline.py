@@ -22,7 +22,13 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="pages parquet/iceberg path (input_hint schema)")
+    ap.add_argument("--input", help="pages table path/identifier (input_hint schema)")
+    ap.add_argument("--input-format", default="parquet",
+                    help="DataSource for --input: parquet (default), "
+                         "iceberg, delta, orc, ... — iceberg/delta need "
+                         "their runtime jars + catalog config on the "
+                         "cluster (spark.sql.catalog.*); the pipeline "
+                         "itself is format-agnostic past the scan")
     ap.add_argument("--n-pages", type=int, help="synthesize N deterministic pages")
     ap.add_argument("--output", required=True, help="clusters output parquet path")
     ap.add_argument("--work-dir", help="stage checkpoint dir (resume on re-run)")
@@ -106,7 +112,11 @@ def main() -> None:
 
     from deezymatch_spark.pipeline import incremental_er
 
-    pages = spark.read.parquet(args.input) if args.input else None
+    pages = (
+        spark.read.format(args.input_format).load(args.input)
+        if args.input
+        else None
+    )
     if args.preflight:
         from deezymatch_spark.pipeline import preflight_report
         from deezymatch_spark.sources.pages import generate_pages
