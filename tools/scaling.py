@@ -34,7 +34,9 @@ def run_once(cores: int, n_pages: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--cores", str(cores), "--only", "pipeline_entity_clusters",
          "--pages", str(n_pages), "--sf-dir", "/root/testdata/sf0.1"],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        # guard only — 32M pages x best-of-3 reps at local[2] runs
+        # ~35-50 min on a quiet window and can exceed 60 on a slow one
+        capture_output=True, text=True, cwd=REPO, timeout=7200,
     )
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     if not lines:
