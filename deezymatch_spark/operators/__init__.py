@@ -68,6 +68,7 @@ from .graphrank import pagerank_micro
 from .linkage import link_records, mutual_best_matches
 from .meta_blocking import meta_block_weights, meta_blocked_pairs
 from .ranker import candidate_ranker, validate_ranker_args
+from .canopy import canopy_clusters
 from .edjoin import edit_distance_join
 from .ssjoin import jaccard_join
 from .snm import sorted_neighborhood_pairs
@@ -118,6 +119,7 @@ __all__ = [
     "pagerank_micro",
     "profile_columns", "top_values",
     "mutual_best_matches",
+    "canopy_clusters",
     "edit_distance_join",
     "jaccard_join",
     "sorted_neighborhood_pairs",
