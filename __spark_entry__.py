@@ -1355,6 +1355,7 @@ def q_minhash_dup_pairs(spark, sf):
     )
     # ascii-strip BEFORE lower: lower() on pure ascii is engine-
     # identical, while unicode case folding is not guaranteed to be
+    # engine-identical between Spark (ICU) and DuckDB (utf8proc)
     ed_src = (
         _t(spark, sf, "documents")
         .where(F.col("doc_id") < 300)

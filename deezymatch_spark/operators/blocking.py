@@ -32,6 +32,7 @@ __all__ = [
     "block_join",
     "candidate_pairs",
     "estimated_block_pairs",
+    "over_cap_block_keys",
     "scored_candidate_pairs",
     "release_persisted",
 ]
@@ -491,6 +492,25 @@ def blocking_preflight(keys: DataFrame, *, max_block_size: int | None = None) ->
         .agg(*aggs)
         .withColumn("family", F.coalesce("family", F.lit("TOTAL")))
         .orderBy("family")
+    )
+
+
+def over_cap_block_keys(keys: DataFrame, max_block_size: int) -> DataFrame:
+    """One row per over-cap STRING block key → DataFrame[block_key,
+    n_ids] with ``n_ids > max_block_size`` — the per-key companion to
+    ``blocking_preflight``'s per-FAMILY aggregate, and the tool that
+    emits the one-block_key-per-row blocklist
+    ``streaming_window_matches(hot_keys=...)`` consumes (write it as
+    parquet for ``jobs/streaming_matches.py --hot-keys``; refresh it
+    with ``--refresh-hot-keys-every``). Runs BEFORE ``_hash_block_keys``
+    on purpose: the stream anti-joins on string keys. One map-combined
+    aggregation; the result is tiny by construction (each key has >
+    max_block_size members, so there are at most
+    |key_rows|/max_block_size rows; Zipf makes it far fewer)."""
+    return (
+        keys.groupBy("block_key")
+        .agg(F.count("*").alias("n_ids"))
+        .where(F.col("n_ids") > int(max_block_size))
     )
 
 

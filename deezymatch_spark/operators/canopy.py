@@ -32,9 +32,11 @@ centers' neighborhoods per round); ``max_iterations`` guards the
 adversarial ordering loudly.
 
 Guarantees (tested):
-- coverage: every record appearing in ``pairs`` lands in >= 1 canopy
-  (records with no pair at all are the caller's singletons, same
-  contract as connected_components/star);
+- coverage: every record with at least one pair at ``sim >= loose``
+  lands in >= 1 canopy (rows below ``loose`` are ignored, so records
+  appearing only in sub-loose pairs are — like records with no pair at
+  all — the caller's singletons, same contract as
+  connected_components/star);
 - center independence: no two centers are tight-adjacent;
 - 1-hop membership: every member is loose-adjacent to its canopy's
   center (or IS the center) — like star, a chain can't smuggle a

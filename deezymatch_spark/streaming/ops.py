@@ -19,6 +19,8 @@ from ..operators.blocking import _hash_block_keys, blocking_keys
 from ..sources.pages import extract_title
 
 __all__ = [
+    "load_hot_keys",
+    "refresh_hot_keys",
     "streaming_pages_normalize",
     "windowed_event_counts",
     "streaming_entity_matches",
@@ -82,6 +84,74 @@ def streaming_pages_normalize(pages_stream: DataFrame) -> DataFrame:
         "warc_ts",
         extract_title(F.col("html")).alias("title"),
     ).withColumn("title_norm", normalize_udf(F.col("title")))
+
+
+def refresh_hot_keys(
+    spark,
+    input_path: str,
+    blocklist_dir: str,
+    *,
+    max_block_size: int,
+    ngram: int = 3,
+    use_minhash: bool = False,
+    slice_hours: float | None = None,
+) -> str:
+    """Recount blocking keys over the (batch-readable) crawl feed and
+    atomically publish a fresh over-cap blocklist snapshot — the batch
+    half of the stream's hot-key cap (``streaming_window_matches``
+    docstring: global key counts need a batch aggregation).
+
+    Writes ``<blocklist_dir>/v_<n>`` (parquet, [block_key, n_ids] via
+    ``over_cap_block_keys``) fully, THEN swaps the ``_CURRENT`` pointer
+    with the pipeline's crash-safe tmp+rename pattern
+    (``pipeline._write_text_atomic``) — a kill mid-refresh leaves the
+    previous snapshot live, never a torn read. Old snapshots are kept
+    (tiny by construction) so an in-flight reader holding the previous
+    pointer stays valid.
+
+    ``slice_hours``: only count pages whose ``warc_ts`` falls within
+    that many hours of the feed's max — a partition-prunable pushdown
+    filter, so the recount touches a bounded recent slice instead of
+    the whole history (the right call on an ever-growing 100-TB feed;
+    key frequencies are what's hot NOW, not in 2019).
+
+    Returns the published snapshot path."""
+    from ..operators.blocking import over_cap_block_keys
+    from ..pipeline import _read_text, _write_text_atomic
+
+    pages = spark.read.parquet(input_path)
+    if slice_hours is not None:
+        hi = pages.agg(F.max(F.col("warc_ts").cast("timestamp")).alias("m")).first()["m"]
+        if hi is not None:
+            pages = pages.where(
+                F.col("warc_ts").cast("timestamp")
+                >= F.lit(hi) - F.expr(f"interval {float(slice_hours)} hours")
+            )
+    docs = streaming_pages_normalize(pages)  # stateless projections: batch-safe
+    keys = blocking_keys(docs, "id", "title_norm", ngram=ngram, use_minhash=use_minhash)
+    ptr = blocklist_dir.rstrip("/") + "/_CURRENT"
+    try:
+        prev = _read_text(spark, ptr).strip()
+        version = int(prev.rsplit("v_", 1)[-1]) + 1
+    except Exception:
+        version = 1
+    snap = blocklist_dir.rstrip("/") + f"/v_{version}"
+    over_cap_block_keys(keys, max_block_size).write.mode("overwrite").parquet(snap)
+    _write_text_atomic(spark, ptr, snap)
+    return snap
+
+
+def load_hot_keys(spark, blocklist_dir: str) -> DataFrame | None:
+    """Resolve the ``_CURRENT`` pointer written by ``refresh_hot_keys``
+    and load that snapshot (None when no refresh has published yet —
+    callers treat missing as an empty blocklist)."""
+    from ..pipeline import _read_text
+
+    try:
+        snap = _read_text(spark, blocklist_dir.rstrip("/") + "/_CURRENT").strip()
+    except Exception:
+        return None
+    return spark.read.parquet(snap)
 
 
 def windowed_event_counts(
@@ -342,10 +412,14 @@ def streaming_window_matches(
     - hot-key capping needs GLOBAL key counts, which a stream cannot
       aggregate without another stateful pass — so the cap arrives as
       a static ``hot_keys`` frame (one ``block_key`` string column:
-      build it with ``blocking_preflight`` over a recent batch slice,
-      refresh on redeploy), broadcast-anti-joined before hashing. The
-      batch pipeline's cap is adaptive; the stream's is a pinned
-      config — documented operational trade;
+      build it with ``operators.blocking.over_cap_block_keys`` over
+      the blocking keys of a recent batch slice — one row per over-cap
+      key; ``blocking_preflight`` is the per-FAMILY rollup, not this),
+      broadcast-anti-joined before hashing. The batch pipeline's cap
+      is adaptive; the stream's is pinned until refreshed —
+      ``jobs/streaming_matches.py --refresh-hot-keys-every`` automates
+      the recount → atomic blocklist swap → query restart loop, with a
+      staleness window of one refresh period;
     - a pair sharing several keys would emit once per key:
       ``dedup_pairs=True`` chains ``dropDuplicatesWithinWatermark`` on
       (id1, id2) — dedup state is evicted on the same watermark. A
