@@ -14,8 +14,9 @@ DuckDB-equivalent SQL over the same parquet views. Hash-parity notes:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -470,10 +471,122 @@ def q_ranker_topk(spark, sf):
     )
 
 
+# --- ranker_full oracle machinery (r5: the last rows-only entries go
+# --- hash-graded via the literal-inlining pattern — seeded-GRU conf
+# --- scores and NFKD strings are precomputed at oracle-definition time)
+
+_ORACLE_SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the literal-VALUES oracles are generated for. The
+    grading driver runs correctness at sf0.01 (the contract);
+    tools/selfcheck.py exports DZM_ORACLE_SF_DIR so the literals track
+    whatever dir it is checking."""
+    import os
+
+    return os.environ.get("DZM_ORACLE_SF_DIR", _ORACLE_SF_DEFAULT)
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB single-quoted string literal (quote doubling; no
+    backslash processing in standard SQL strings)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _round_micro(v: float) -> int:
+    """Driver replica of ``F.round(col * 1e6).cast('long')`` — Spark's
+    round is java.math HALF_UP over BigDecimal.valueOf(double) (shortest
+    decimal repr), which Decimal(repr(v)) + ROUND_HALF_UP reproduces."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(float(v) * 1e6)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+_CONF_CHARS = "|abcdefghijklmnopqrstuvwxyz0123456789 .,:;!?'\"()&-_/"
+
+
+def _ranker_conf_artifact() -> str:
+    """Deterministic seeded siamese-GRU artifact for the conf (D3)
+    column of ranker_full — the seeded-weights trick the FS/quality-LR
+    oracles already use, applied to the model stack: weights come from
+    ``SiameseRNN.from_seed`` (Philox), the vocab is a fixed char list,
+    so the DuckDB-side replica can recompute identical scores without
+    SQL ever expressing a GRU. Built once per host under an atomic
+    rename (concurrent builders race benignly: identical bytes)."""
+    import json
+    import os
+    import tempfile
+
+    from deezymatch_spark.model.numpy_rnn import SiameseRNN
+    from deezymatch_spark.model.scorer_udf import save_artifacts
+
+    final = os.path.join(tempfile.gettempdir(), "dzm_seeded_conf_v1")
+    if not os.path.exists(os.path.join(final, "config.json")):
+        vocab = {c: i + 1 for i, c in enumerate(_CONF_CHARS)}  # 0 = pad
+        model = SiameseRNN.from_seed(
+            20260821, len(vocab) + 1,
+            hidden_dim=16, embedding_dim=12, n_layers=1,
+            bidirectional=True, pooling_mode="hstates_layers_simple",
+            fc1_out=24,
+        )
+        cfg = {"tokenize": ["char"], "max_seq_len": 60, "prefix_suffix": ["|", "|"]}
+        tmp = tempfile.mkdtemp(prefix="dzm_conf_build_")
+        save_artifacts(tmp, model, vocab, cfg)
+        try:
+            os.replace(tmp, final)
+        except OSError:
+            pass  # another process published first — same deterministic bytes
+    return final
+
+
+def _conf_score_pairs(s1, s2) -> list[float]:
+    """Seeded-GRU p1 per pair, scored ONE ROW PER MODEL CALL: BLAS
+    kernels can differ in last-ulp by batch shape, and the oracle's
+    driver-side replica must walk the exact same float path as the
+    executors regardless of how Arrow batches/partitions split the
+    pair set. The model is tiny (H=16, 1 layer) so per-row calls stay
+    cheap; production scoring uses the batched ``make_pair_scorer_udf``
+    path — this per-row variant exists for bit-exact oracling."""
+    import pandas as pd
+
+    from deezymatch_spark.model.scorer_udf import (
+        _batch_classify,
+        _encode_batch,
+        load_artifacts,
+    )
+
+    model, vocab, cfg = load_artifacts(_ranker_conf_artifact())
+    out = []
+    for a, b in zip(s1, s2):
+        X1, l1 = _encode_batch(pd.Series([a if a is not None else ""]), vocab, cfg)
+        X2, l2 = _encode_batch(pd.Series([b if b is not None else ""]), vocab, cfg)
+        _, p1, _ = _batch_classify(model, X1, l1, X2, l2)
+        out.append(float(p1[0]))
+    return out
+
+
+def _make_conf_scorer_udf():
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def conf_rowwise(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            yield pd.Series(_conf_score_pairs(list(a), list(b)), dtype="float64")
+
+    return conf_rowwise
+
+
 def q_ranker_full(spark, sf):
-    """Rows-only: full ranker output incl num_all_searches compat col."""
+    """Full ranker output incl the num_all_searches compat col AND a
+    real seeded-GRU ``conf_micro`` column (calc_predict; D3) — graded
+    hash-exact against a sequential driver-side replica of the
+    reference's adaptive search loop (candidateRanker.py:355-578)
+    inlined as literal VALUES. Floats ship as HALF_UP micro-units so
+    the compare is integer-exact."""
     q, c = _ranker_tables(spark, sf)
-    return candidate_ranker(
+    r = candidate_ranker(
         q, c,
         ranking_metric="faiss",
         selection_threshold=RANKER_THRESHOLD,
@@ -482,6 +595,114 @@ def q_ranker_full(spark, sf):
         length_diff=RANKER_LENGTH_DIFF,
         calc_cosine=True,
     )
+    # conf scored AFTER the top-k prune (|Q|·k rows, not the |Q|·|C|
+    # cross product — at 10^12 candidates scoring pre-window would put
+    # the whole pair set through Python); same output, since with
+    # ranking_metric='faiss' dl_match participates in no filter
+    scorer = _make_conf_scorer_udf()
+    return r.select(
+        "query_id",
+        "query",
+        "query_orig",
+        F.col("rank").cast("long").alias("rank"),
+        "candidate",
+        "candidate_orig",
+        "candidate_id",
+        F.round(F.col("faiss_dist") * 1e6).cast("long").alias("faiss_micro"),
+        F.round(F.col("cosine_dist") * 1e6).cast("long").alias("cosine_micro"),
+        F.round(scorer(F.col("query"), F.col("candidate")) * 1e6)
+        .cast("long")
+        .alias("conf_micro"),
+        F.col("num_all_searches").cast("long").alias("num_all_searches"),
+    )
+
+
+def _ranker_full_expected():
+    """Sequential driver replica of candidate_ranker for the oracle:
+    faiss/cosine as explicit left-fold float64 (the exact
+    ``functions.distances`` expression order), the adaptive
+    num_all_searches as the reference's literal windowed loop, dedup by
+    candidate original spelling, conf via the SAME per-row scorer the
+    Spark UDF calls. Strings come from DuckDB's own lower(trim()) so
+    the engine-normalization parity burden stays on normalize_basic
+    (already graded)."""
+    import math
+
+    import duckdb
+
+    sf = _oracle_sf_dir()
+    rows = duckdb.sql(
+        f"select d.doc_id, d.text, {_D_NORM} as t, e.embedding "
+        f"from '{sf}/documents.parquet' d "
+        f"join '{sf}/embeddings.parquet' e on d.doc_id = e.vec_id "
+        f"order by d.doc_id"
+    ).fetchall()
+    cands = [(int(i), txt, norm, list(map(float, emb))) for i, txt, norm, emb in rows]
+    queries = [r for r in cands if r[0] < 20]
+    ss, K, thr, ld = 10, RANKER_K, RANKER_THRESHOLD, RANKER_LENGTH_DIFF
+
+    out = []
+    for qid, qorig, qnorm, qv in queries:
+        dqq = 0.0
+        for x in qv:
+            dqq += x * x
+        scored = []
+        for cid, corig, cnorm, cv in cands:
+            fd = 0.0
+            for x, y in zip(qv, cv):
+                d = x - y
+                fd += d * d
+            dqc = dcc = 0.0
+            for x, y in zip(qv, cv):
+                dqc += x * y
+            for y in cv:
+                dcc += y * y
+            den = math.sqrt(dqq) * math.sqrt(dcc)
+            cos = 1.0 - dqc / den if den != 0.0 else float("nan")
+            scored.append((fd, cid, corig, cnorm, cos))
+        scored.sort(key=lambda r: (r[0], r[1]))
+
+        # the adaptive loop's final k (candidateRanker.py:381-398,501-510)
+        n = len(scored)
+        first_k_pos = first_over_pos = None
+        cum = 0
+        for p, (fd, cid, corig, cnorm, cos) in enumerate(scored, start=1):
+            passing = fd <= thr and abs(len(qnorm) - len(cnorm)) <= ld
+            if passing:
+                cum += 1
+                if cum == K and first_k_pos is None:
+                    first_k_pos = p
+            if fd > thr and first_over_pos is None:
+                first_over_pos = p
+        batches = [
+            -(-p // ss) for p in (first_k_pos, first_over_pos) if p is not None
+        ]
+        nas = min(min(batches) * ss, n) if batches else n
+
+        # filters -> dedup by candidate_orig (keep best faiss position)
+        # -> final rank
+        seen_orig = set()
+        surv = []
+        for fd, cid, corig, cnorm, cos in scored:
+            if fd > thr or abs(len(qnorm) - len(cnorm)) > ld:
+                continue
+            if corig in seen_orig:
+                continue
+            seen_orig.add(corig)
+            surv.append((fd, cid, corig, cnorm, cos))
+        for rank, (fd, cid, corig, cnorm, cos) in enumerate(surv[:K], start=1):
+            out.append([qid, qnorm, qorig, rank, cnorm, corig, cid, fd, cos, None, nas])
+
+    confs = _conf_score_pairs([r[1] for r in out], [r[4] for r in out])
+    for r, p1 in zip(out, confs):
+        r[9] = p1
+    return [
+        (
+            qid, qn, qo, rank, cn, co, cid,
+            _round_micro(fd), _round_micro(cos), _round_micro(p1), nas,
+        )
+        for qid, qn, qo, rank, cn, co, cid, fd, cos, p1, nas in out
+    ]
 
 
 def q_ranker_blocked(spark, sf):
@@ -1857,11 +2078,28 @@ def q_events_signals(spark, sf):
 
 
 def q_normalize_nfkd(spark, sf):
-    """Full normalizeString parity (NFKD→lower→strip) — Arrow UDF; DuckDB
-    has no NFKD builtin, so rows-only."""
+    """Full normalizeString parity (NFKD→lower→strip) — Arrow UDF.
+    DuckDB has no NFKD builtin, so the oracle inlines the expected
+    strings as literal VALUES computed driver-side by the SAME
+    ``deezymatch_spark.text.normalize_string`` the UDF wraps — a green
+    hash proves the distributed Arrow path (partitioned, batched)
+    byte-matches the single-process reference implementation."""
     return _t(spark, sf, "documents").select(
         "doc_id", normalize_udf(F.col("text")).alias("text_norm")
     )
+
+
+def _nfkd_expected_rows():
+    """Driver-side NFKD replica for the normalize_nfkd oracle."""
+    import duckdb
+
+    from deezymatch_spark.text import normalize_string
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{_oracle_sf_dir()}/documents.parquet' "
+        f"order by doc_id"
+    ).fetchall()
+    return [(int(i), normalize_string(t if t is not None else "")) for i, t in rows]
 
 
 def q_ivf_ann_topk(spark, sf):
@@ -2078,11 +2316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order (r3 verdict: entries 51-52 got no correctness row at all). Layout:
     #   1. flagship + training first (highest-value, must be graded),
     #   2. then the other oracled queries,
-    #   3. the two rows-only-by-design queries (ranker_full: GRU confidence
-    #      scores not SQL-expressible; normalize_nfkd: DuckDB has no NFKD)
-    #      dead last — if anything falls outside the window it is them, and
-    #      they could never be hash-green anyway.
-    # Exactly 50 entries (48 hash-graded + 2 rows-only). To stay inside the
+    #   3. ranker_full + normalize_nfkd last (historical: rows-only until r4;
+    #      r5 gave both literal-VALUES oracles — seeded-GRU conf micro-units
+    #      and driver-side NFKD — so all 50 now hash-grade).
+    # Exactly 50 entries (50 hash-graded). To stay inside the
     # window while adding r4 queries, six composites replaced thirteen
     # constituents (each constituent was driver-green r1-r3 and keeps its
     # q_* function for bench.py and composition): vector_topk = sq_l2 ∪
@@ -3418,4 +3655,28 @@ def oracle_sql() -> dict[str, str]:
     )
     # substring_dup_stats subsumes the span query (same spans, aggregated)
     o.pop("substring_dup_spans")
+
+    # ---- r5: the two formerly rows-only entries go hash-graded via the
+    # ---- literal-inlining pattern (seeded FS weights / IVF centroids /
+    # ---- multimodal replicas established it). NFKD strings and the
+    # ---- sequential ranker replica are computed driver-side at
+    # ---- oracle-definition time for the sf dir the driver grades
+    # ---- (_oracle_sf_dir) and inlined as VALUES.
+    o["normalize_nfkd"] = (
+        "select doc_id, t as text_norm from (values "
+        + ", ".join(
+            f"({i}, {_sql_str(t)})" for i, t in _nfkd_expected_rows()
+        )
+        + ") as t(doc_id, t)"
+    )
+    o["ranker_full"] = (
+        "select * from (values "
+        + ", ".join(
+            f"({qid}, {_sql_str(qn)}, {_sql_str(qo)}, {rank}, {_sql_str(cn)}, "
+            f"{_sql_str(co)}, {cid}, {fm}, {cm}, {pm}, {nas})"
+            for qid, qn, qo, rank, cn, co, cid, fm, cm, pm, nas in _ranker_full_expected()
+        )
+        + ") as t(query_id, query, query_orig, rank, candidate, candidate_orig, "
+        "candidate_id, faiss_micro, cosine_micro, conf_micro, num_all_searches)"
+    )
     return o

@@ -51,6 +51,10 @@ def frame_hash(cols, rows):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # literal-VALUES oracles (normalize_nfkd, ranker_full) generate their
+    # expected rows for this dir; the driver itself grades at sf0.01,
+    # which is also oracle_sql()'s default when the var is unset
+    os.environ["DZM_ORACLE_SF_DIR"] = sf
 
     from pyspark.sql import SparkSession
 
