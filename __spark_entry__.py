@@ -757,8 +757,15 @@ def q_cc_components(spark, sf):
       STAR clustering against the full edge set — n_nodes / internal
       edges / exact density / cut-side counts (nonzero here: star cuts
       the path edges between adjacent stars) / is_tree, with cut and
-      tree packed as y = 2*n_cut + is_tree."""
+      tree packed as y = 2*n_cut + is_tree.
+    - 'canopy' (r5): canopy_clusters (operators/canopy.py, distributed
+      rounds forced via driver_threshold=0) of the same edges with
+      sim=1.0, loose=tight=0.5 — on the ascending-id path family the
+      round rule resolves in closed form (every even offset is a
+      center; odd offsets overlap into BOTH flanking canopies), which
+      the oracle derives per island. component column = canopy id."""
     from deezymatch_spark.operators import (
+        canopy_clusters,
         center_clusters,
         cluster_graph_stats,
         clusters_at_thresholds,
@@ -807,7 +814,18 @@ def q_cc_components(spark, sf):
         F.col("density_micro"),
         F.col("n_cut_edges") * 2 + F.col("is_tree").cast("long"),
     )
-    return cc.unionByName(cen).unionByName(st).unionByName(stats)
+    can = shape(
+        canopy_clusters(
+            edges.select(
+                F.col("src").alias("id1"),
+                F.col("dst").alias("id2"),
+                F.lit(1.0).alias("sim"),
+            ),
+            loose=0.5, tight=0.5, driver_threshold=0,
+        ),
+        "canopy", -1, F.col("node"), F.col("canopy"),
+    )
+    return cc.unionByName(cen).unionByName(st).unionByName(stats).unionByName(can)
 
 
 def q_train_split(spark, sf):
@@ -1309,6 +1327,11 @@ def _cc_sweep_oracle_sql() -> str:
         cs as (select vec_id as node, s, L, vec_id - s as i
                from runs where L > 1),
         cen as (select node, s + 2 * (i // 2) as cluster from cs),
+        can as (select node, node as canopy from cs where i % 2 = 0
+                union all
+                select node, node - 1 from cs where i % 2 = 1
+                union all
+                select node, node + 1 from cs where i % 2 = 1 and i + 1 <= L - 1),
         star as (select node,
                    case when L = 2 then s
                         when i < 3 then s + 1
@@ -1348,7 +1371,9 @@ def _cc_sweep_oracle_sql() -> str:
                     else (n_int * 2000000) // (n_nodes * (n_nodes - 1)) end,
                nc * 2 + case when n_int = n_nodes - 1 and n_nodes >= 3
                              then 1 else 0 end
-        from stats"""
+        from stats
+        union all
+        select 'canopy', -1, node, canopy, -1, -1 from can"""
 
 
 def q_doc_fingerprints(spark, sf):
@@ -1803,8 +1828,18 @@ def q_pack_layout(spark, sf):
     (shuffle_sequences over the distinct sequences, joined back — r4).
     One bucket-key shuffle carrying only (id, n_tokens) for the layout
     + one shard-key window over the far smaller sequence set; the
-    oracle replicates both with SQL window functions."""
-    from deezymatch_spark.operators import pack_sequences, shuffle_sequences
+    oracle replicates both with SQL window functions.
+
+    r5 adds 'mat' rows: materialize_sequences under the SAME layout —
+    per packed sequence its bucket, token count, and an md5 over the
+    unit-separator-joined tokens (binary content never crosses the
+    hash compare), so the slice-arithmetic assembly path is graded
+    against a positional-explode SQL twin."""
+    from deezymatch_spark.operators import (
+        materialize_sequences,
+        pack_sequences,
+        shuffle_sequences,
+    )
 
     lay = pack_sequences(
         _t(spark, sf, "documents"), "doc_id", "text",
@@ -1814,10 +1849,28 @@ def q_pack_layout(spark, sf):
         lay.select("seq_id").distinct(), "seq_id",
         n_shards=PACK_SHUFFLE_SHARDS, salt="shuf",
     )
-    return lay.join(order, "seq_id").select(
+    neg = F.lit(-1).cast("long")
+    lay_rows = lay.join(order, "seq_id").select(
+        F.lit("lay").alias("kind"),
         "doc_id", "n_tokens", "bucket", "seq_id", "seq_offset",
         "shard", "shard_pos",
+        F.lit("").alias("tokens_md5"),
     )
+    mat_rows = materialize_sequences(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        max_seq_len=PACK_SEQ_LEN, n_buckets=PACK_BUCKETS, salt="pack",
+    ).select(
+        F.lit("mat").alias("kind"),
+        neg.alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        neg.alias("seq_offset"),
+        neg.alias("shard"),
+        neg.alias("shard_pos"),
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("tokens_md5"),
+    )
+    return lay_rows.unionByName(mat_rows)
 
 
 def q_quality_filter(spark, sf):
@@ -3163,14 +3216,14 @@ def oracle_sql() -> dict[str, str]:
             from g""",
         "pack_layout": f"""
             with t as (select doc_id,
-                         cast(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                              x -> x <> '')) as bigint) as n_tokens,
+                         list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '') as ws,
                          cast(('0x'||substr(md5('pack:'||cast(doc_id as varchar)),1,15))
                               as bigint) % {PACK_BUCKETS} as bucket
                        from documents),
-                 s as (select doc_id, n_tokens, bucket,
-                         sum(n_tokens) over (partition by bucket order by doc_id)
-                           - n_tokens as st
+                 s as (select doc_id, ws, cast(len(ws) as bigint) as n_tokens, bucket,
+                         sum(cast(len(ws) as bigint)) over (partition by bucket order by doc_id)
+                           - cast(len(ws) as bigint) as st
                        from t),
                  lay as (select doc_id, n_tokens, cast(bucket as bigint) as bucket,
                            cast(bucket * {1 << 40} + st // {PACK_SEQ_LEN} as bigint) as seq_id,
@@ -3185,9 +3238,23 @@ def oracle_sql() -> dict[str, str]:
                            cast(row_number() over (
                              partition by k % {PACK_SHUFFLE_SHARDS}
                              order by k, seq_id) - 1 as bigint) as shard_pos
-                         from sk)
-            select doc_id, n_tokens, bucket, seq_id, seq_offset, shard, shard_pos
-            from lay join ord using (seq_id)""",
+                         from sk),
+                 tok as (select bucket, st + j - 1 as p, w
+                         from (select bucket, st, unnest(ws) as w,
+                                      unnest(generate_series(1, len(ws))) as j
+                               from s)),
+                 mseq as (select bucket, q, cast(count(*) as bigint) as n,
+                            md5(string_agg(w, chr(31) order by p)) as m
+                          from (select bucket, p // {PACK_SEQ_LEN} as q, p, w from tok)
+                          group by bucket, q)
+            select 'lay' as kind, doc_id, n_tokens, bucket, seq_id, seq_offset,
+                   shard, shard_pos, '' as tokens_md5
+            from lay join ord using (seq_id)
+            union all
+            select 'mat', cast(-1 as bigint), n, cast(bucket as bigint),
+                   cast(bucket * {1 << 40} + q as bigint), cast(-1 as bigint),
+                   cast(-1 as bigint), cast(-1 as bigint), m
+            from mseq""",
         "hash_sample": """
             select doc_id from documents
             where cast(('0x'||substr(md5('s1:'||cast(doc_id as varchar)),1,15)) as bigint)
