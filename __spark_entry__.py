@@ -2156,17 +2156,37 @@ def _nfkd_expected_rows():
 
 
 def q_ivf_ann_topk(spark, sf):
+    """IVF composite (r5): 'topk' rows = the approximate search; 'pf'
+    rows = knn_preflight's per-list cost report at the same
+    (n_lists, n_probe) — list_id/n_cand/n_probing_queries packed into
+    the shared columns, est_pairs as the double slot, plus the -1
+    TOTAL rollup. The oracle re-derives list sizes and probe counts
+    from the same md5-min literal centroids."""
+    from deezymatch_spark.operators import knn_preflight
+
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
-    return ivf_topk(
+    topk = ivf_topk(
         q, emb, k=5, n_lists=8, n_probe=3, metric="cosine",
         q_id="vec_id", q_vec="embedding", c_id="vec_id", c_vec="embedding",
     ).select(
+        F.lit("topk").alias("kind"),
         "query_id", "candidate_id",
         F.col("rank").cast("long").alias("rank"),
         # +0.0 normalizes IEEE -0.0 (self-match cosine dist rounds to -0)
         (F.round("dist", 6) + F.lit(0.0)).alias("dist"),
     )
+    pf = knn_preflight(
+        q, emb, n_lists=8, n_probe=3, metric="cosine",
+        q_id="vec_id", q_vec="embedding", c_id="vec_id", c_vec="embedding",
+    ).select(
+        F.lit("pf").alias("kind"),
+        F.col("list_id").alias("query_id"),
+        F.col("n_cand").alias("candidate_id"),
+        F.col("n_probing_queries").alias("rank"),
+        F.col("est_pairs").cast("double").alias("dist"),
+    )
+    return topk.unionByName(pf)
 
 
 def q_image_features(spark, sf):
@@ -3425,9 +3445,24 @@ def oracle_sql() -> dict[str, str]:
                   from qa join ca using (list_id)),
             r as (select qid as query_id, cid as candidate_id, dist,
                     row_number() over (partition by qid order by dist asc, cid asc) as rank
-                  from s)
-            select query_id, candidate_id, rank, round(dist, 6) + 0.0 as dist
-            from r where rank <= 5""",
+                  from s),
+            sizes as (select list_id, cast(count(*) as bigint) as n_cand
+                      from ca group by list_id),
+            probes as (select list_id, cast(count(*) as bigint) as nq
+                       from qa group by list_id),
+            pf as (select cast(list_id as bigint) as list_id,
+                          coalesce(n_cand, 0) as n_cand, coalesce(nq, 0) as nq
+                   from sizes full join probes using (list_id))
+            select 'topk' as kind, query_id, candidate_id, rank,
+                   round(dist, 6) + 0.0 as dist
+            from r where rank <= 5
+            union all
+            select 'pf', list_id, n_cand, nq, cast(n_cand * nq as double)
+            from pf
+            union all
+            select 'pf', cast(-1 as bigint), sum(n_cand), sum(nq),
+                   cast(sum(n_cand * nq) as double)
+            from pf""",
         "lsh_ann_topk": f"""
             with c as (select vec_id as cid, embedding as cv from embeddings),
             q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 20),

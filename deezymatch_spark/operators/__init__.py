@@ -28,7 +28,13 @@ from .dedup import (
 from .c4 import c4_clean_lines, c4_filter
 from .gopher import GOPHER_DEFAULTS, gopher_filter
 from .incremental import clusters_at_thresholds, remove_nodes, update_clusters
-from .knn import brute_force_topk, ivf_topk, lsh_topk
+from .knn import (
+    brute_force_topk,
+    ivf_topk,
+    knn_preflight,
+    lsh_topk,
+    refine_centroids,
+)
 from .lm import char_ngram_lm, lm_score
 from .profiling import profile_columns, top_values
 from .quality_lr import (
@@ -101,7 +107,8 @@ __all__ = [
     "substring_dedup", "substring_dup_spans", "substring_dup_stats",
     "url_dedup", "url_dup_groups", "word_ngram_hashes",
     "clusters_at_thresholds", "remove_nodes", "update_clusters",
-    "brute_force_topk", "ivf_topk", "lsh_topk",
+    "brute_force_topk", "ivf_topk", "knn_preflight", "lsh_topk",
+    "refine_centroids",
     "char_ngram_lm", "lm_score",
     "chunk_documents", "materialize_sequences", "pack_sequences",
     "shuffle_sequences",

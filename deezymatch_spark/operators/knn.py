@@ -30,6 +30,8 @@ __all__ = [
     "ivf_topk",
     "coarse_centroids",
     "centroid_dist_array",
+    "refine_centroids",
+    "knn_preflight",
 ]
 
 _METRICS = {"sq_l2": sq_l2, "cosine": cosine_dist}
@@ -70,6 +72,149 @@ def centroid_dist_array(vec_col, centroids: list[list[float]], dist_fn):
             for i, v in enumerate(centroids)
         ]
     )
+
+
+def refine_centroids(
+    candidates: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    iters: int = 2,
+    metric: str = "sq_l2",
+) -> list[list[float]]:
+    """2-3 distributed Lloyd iterations over a coarse centroid seed —
+    the k-means refinement ``coarse_centroids``'s md5-min sample skips.
+
+    Per iteration: (1) assignment is the same zero-shuffle
+    literal-centroid argmin projection ``ivf_topk`` uses — no join, no
+    Exchange over the candidate stream; (2) the update is ONE
+    map-combined aggregation over ``posexplode``d (list_id, dim_pos,
+    value) rows — Spark's partial sum/count means the shuffle carries
+    n_lists x dim x partitions partial rows, never the corpus — and the
+    driver collects exactly n_lists x dim cells (the same bounded
+    budget as the seed itself). Empty lists keep their previous
+    centroid. ``metric="cosine"`` runs spherical k-means (mean
+    renormalized to unit length; zero-norm means kept unnormalized).
+
+    Refined centroids tighten the lists (lower quantization error), so
+    at EQUAL n_probe each probe covers more of a query's true
+    neighborhood — measured recall gain is pinned in
+    tests/test_metrics_and_ann.py. Eager: runs ``iters`` tiny jobs at
+    plan-build time."""
+    import math
+
+    dist_fn = _METRICS[metric]
+    dim = len(centroids[0])
+    cur = [list(map(float, v)) for v in centroids]
+    for _ in range(int(iters)):
+        # withColumn BEFORE the generator select: a Project that carries
+        # a generator strips struct-field aliases from sibling
+        # expressions (FIELD_NOT_FOUND on the argmin otherwise)
+        assigned = candidates.withColumn(
+            "_l",
+            F.array_min(centroid_dist_array(F.col(vec_col), cur, dist_fn))["list_id"],
+        ).select("_l", F.posexplode(F.col(vec_col)).alias("_p", "_x"))
+        cells = (
+            assigned.groupBy("_l", "_p")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .collect()
+        )
+        sums = {}
+        counts = {}
+        for r in cells:
+            sums[(r._l, r._p)] = r._s
+            counts[r._l] = r._n  # same count for every dim position
+        nxt = []
+        for li, old in enumerate(cur, start=1):
+            n = counts.get(li, 0)
+            if n == 0:
+                nxt.append(old)
+                continue
+            mean = [sums[(li, p)] / n for p in range(dim)]
+            if metric == "cosine":
+                nrm = math.sqrt(sum(x * x for x in mean))
+                if nrm > 0.0:
+                    mean = [x / nrm for x in mean]
+            nxt.append(mean)
+        cur = nxt
+    return cur
+
+
+def knn_preflight(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    metric: str = "cosine",
+    q_id: str = "id",
+    q_vec: str = "vec",
+    c_id: str = "id",
+    c_vec: str = "vec",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Pre-flight cost report for ``ivf_topk`` — ``blocking_preflight``'s
+    counterpart for the ANN path → DataFrame[list_id, n_cand,
+    n_probing_queries, est_pairs] one row per inverted list plus a
+    ``list_id = -1`` TOTAL rollup. ``est_pairs`` = list size x queries
+    probing it — exactly the exact-scoring volume the probe join will
+    feed the final window at these (n_lists, n_probe), priced by two
+    map-combined aggregations instead of the join itself. Run it
+    before committing a 10^12-row ANN job to choose n_lists/n_probe
+    (skewed list sizes here = the centroid seed needs ``refine_iters``
+    > 0). Exact bigint."""
+    dist_fn = _METRICS[metric]
+    c = candidates.select(F.col(c_id).alias("candidate_id"), F.col(c_vec).alias("_cv"))
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    centroids = coarse_centroids(c, "candidate_id", "_cv", n_lists)
+    if refine_iters:
+        centroids = refine_centroids(c, "_cv", centroids, iters=refine_iters, metric=metric)
+
+    c_sizes = (
+        c.select(
+            F.array_min(centroid_dist_array(F.col("_cv"), centroids, dist_fn))[
+                "list_id"
+            ].alias("list_id")
+        )
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_cand"))
+    )
+    q_probes = (
+        q.select(
+            F.explode(
+                F.slice(
+                    F.array_sort(centroid_dist_array(F.col("_qv"), centroids, dist_fn)),
+                    1,
+                    n_probe,
+                ).getField("list_id")
+            ).alias("list_id")
+        )
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_probing_queries"))
+    )
+    per_list = (
+        c_sizes.join(q_probes, "list_id", "full_outer")
+        .select(
+            F.col("list_id").cast("long").alias("list_id"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_probing_queries", F.lit(0))
+            .cast("long")
+            .alias("n_probing_queries"),
+        )
+        .withColumn(
+            "est_pairs", (F.col("n_cand") * F.col("n_probing_queries")).cast("long")
+        )
+    )
+    total = per_list.agg(
+        F.lit(-1).cast("long").alias("list_id"),
+        F.sum("n_cand").cast("long").alias("n_cand"),
+        F.sum("n_probing_queries").cast("long").alias("n_probing_queries"),
+        F.sum("est_pairs").cast("long").alias("est_pairs"),
+    )
+    return per_list.unionByName(total)
 
 
 def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -242,6 +387,7 @@ def ivf_topk(
     q_vec: str = "vec",
     c_id: str = "id",
     c_vec: str = "vec",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition candidates into
     ``n_lists`` inverted lists by nearest coarse centroid; each query
@@ -251,7 +397,10 @@ def ivf_topk(
     set itself — the ``n_lists`` rows with smallest
     ``(md5_long(id), id)`` (a seedless reservoir; md5 keeps the whole
     operator DuckDB-oracle-expressible; kmeans refinement is
-    unnecessary for bucketing correctness). The tiny centroid set is
+    unnecessary for bucketing correctness — ``refine_iters`` > 0 runs
+    that many distributed Lloyd iterations (``refine_centroids``) for
+    better recall at equal probe cost, at the price of oracle
+    expressibility and ``iters`` extra tiny jobs). The tiny centroid set is
     collected once and inlined as plan-time LITERALS, so list
     assignment is a single zero-shuffle projection: an
     ``array_min`` argmin over an ``array<struct<dist, list_id>>`` of
@@ -268,6 +417,10 @@ def ivf_topk(
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
 
     centroids = coarse_centroids(c, "candidate_id", "_cv", n_lists)
+    if refine_iters:
+        centroids = refine_centroids(
+            c, "_cv", centroids, iters=refine_iters, metric=metric
+        )
 
     def assign_array(vec_col):
         return centroid_dist_array(vec_col, centroids, dist_fn)

@@ -243,6 +243,7 @@ def preflight_report(
     *,
     ngram: int = 3,
     max_block_size: int = 100,
+    cap_mode: str = "drop",
     use_minhash: bool = False,
     use_anchors: bool = False,
     use_phonetic: bool = False,
@@ -281,7 +282,7 @@ def preflight_report(
         keys = keys.unionByName(_anchor_key_rows(docs).select("id", "block_key"))
     if use_phonetic:
         keys = keys.unionByName(_phonetic_key_rows(docs).select("id", "block_key"))
-    return blocking_preflight(keys, max_block_size=max_block_size)
+    return blocking_preflight(keys, max_block_size=max_block_size, cap_mode=cap_mode)
 
 
 def exact_recall_audit(
@@ -344,6 +345,7 @@ def er_stages(
     jw_threshold: float = 0.82,
     lev_max: int = 2,
     max_block_size: int = 100,
+    cap_mode: str = "drop",
     ngram: int = 3,
     pair_scorer=None,
     conf_threshold: float = 0.5,
@@ -392,6 +394,14 @@ def er_stages(
     3-grams, different word keys, lev=1). ~1 extra key row per title
     token; OFF by default for the synthetic benchmark (gram recall is
     already 0.9998+ there).
+
+    ``cap_mode``: what happens to blocking keys over
+    ``max_block_size`` — ``"drop"`` (default) removes them;
+    ``"downsample"`` keeps a deterministic ``max_block_size``-member
+    floor per key (operators/blocking.py:_downsample_overcap), trading
+    a bounded extra pair budget for recall the drop cap provably loses
+    (the r4/r5 exact-gold audits in BASELINE.md measure both sides).
+    Production guidance: PLANS.md runbook.
 
     ``scorer``: ``"jw"`` (default) thresholds on the Jaro-Winkler
     Arrow UDF; ``"fs"`` swaps in the Fellegi-Sunter model
@@ -474,7 +484,7 @@ def er_stages(
     scored_raw = scored_candidate_pairs(
         docs, "id", "title_norm",
         lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
-        use_minhash=use_minhash, extra_keys=extra_keys,
+        use_minhash=use_minhash, extra_keys=extra_keys, cap_mode=cap_mode,
     )
     if scorer == "fs":
         from .operators.fs_linkage import (
@@ -567,6 +577,7 @@ def er_stages(
     pairs = candidate_pairs(
         docs, "id", "title_norm", max_block_size=max_block_size, ngram=ngram,
         use_minhash=use_minhash, persist_keys=False, extra_keys=anchor_keys,
+        cap_mode=cap_mode,
     )
 
     # S3 — match filter
@@ -638,6 +649,7 @@ def incremental_er(
     jw_threshold: float = 0.82,
     lev_max: int = 2,
     max_block_size: int = 100,
+    cap_mode: str = "drop",
     ngram: int = 3,
     pair_scorer=None,
     conf_threshold: float = 0.5,
@@ -814,7 +826,7 @@ def incremental_er(
     scored_raw = scored_candidate_pairs(
         docs_all, "id", "title_norm",
         lev_max=lev_max, max_block_size=max_block_size, ngram=ngram,
-        use_minhash=use_minhash, delta_ids=new_ids,
+        use_minhash=use_minhash, delta_ids=new_ids, cap_mode=cap_mode,
     )
     scored = scored_raw.withColumn("jw", jaro_winkler_udf(F.col("t1"), F.col("t2")))
     matches = scored.where(F.col("jw") >= jw_threshold)

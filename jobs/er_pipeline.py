@@ -35,6 +35,16 @@ def main() -> None:
     ap.add_argument("--jw-threshold", type=float, default=0.82)
     ap.add_argument("--lev-max", type=int, default=2)
     ap.add_argument("--max-block-size", type=int, default=100)
+    ap.add_argument("--driver-memory", default=None,
+                    help="spark.driver.memory for plain-python local "
+                         "runs (e.g. 24g; the exact-recall audit's "
+                         "edjoin gold needs heap at 200k+ pages)")
+    ap.add_argument("--cap-mode", choices=["drop", "downsample"],
+                    default="drop",
+                    help="over-cap blocks: drop entirely (default, the "
+                         "graded semantic) or deterministically downsample "
+                         "to --max-block-size members (recall floor; see "
+                         "PLANS.md runbook)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--use-minhash", action="store_true",
                     help="add m: MinHash-band keys (long-text keys)")
@@ -106,6 +116,10 @@ def main() -> None:
     builder = SparkSession.builder.appName("deezymatch-spark-er-pipeline").config(
         "spark.sql.adaptive.enabled", "true"
     ).config("spark.sql.adaptive.skewJoin.enabled", "true")
+    if args.driver_memory:
+        # only effective before the JVM starts (i.e. plain python
+        # launch, local master); under spark-submit pass --driver-memory
+        builder = builder.config("spark.driver.memory", args.driver_memory)
     if args.shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     spark = builder.getOrCreate()
@@ -126,6 +140,7 @@ def main() -> None:
         report = preflight_report(
             pages,
             max_block_size=args.max_block_size,
+            cap_mode=args.cap_mode,
             use_minhash=args.use_minhash,
             use_anchors=args.use_anchors,
             use_phonetic=args.use_phonetic,
@@ -147,6 +162,7 @@ def main() -> None:
             jw_threshold=args.jw_threshold,
             lev_max=args.lev_max,
             max_block_size=args.max_block_size,
+            cap_mode=args.cap_mode,
             use_minhash=args.use_minhash,
         )
     else:
@@ -162,6 +178,7 @@ def main() -> None:
             jw_threshold=args.jw_threshold,
             lev_max=args.lev_max,
             max_block_size=args.max_block_size,
+            cap_mode=args.cap_mode,
             use_minhash=args.use_minhash,
             use_anchors=args.use_anchors,
             use_phonetic=args.use_phonetic,

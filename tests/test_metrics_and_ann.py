@@ -91,6 +91,91 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.5, recall  # high-dim random vectors: coarse buckets
 
 
+def test_refine_centroids_improves_or_matches_recall_at_equal_probes(spark):
+    """2 Lloyd iterations over the md5-min seed must not lose recall at
+    equal (n_lists, n_probe); the measured sf0.1 gain is recorded in
+    PLANS.md. Also pins the Lloyd mechanics: refined centroids are unit
+    norm under cosine (spherical k-means) and change vs the seed."""
+    import math
+
+    from deezymatch_spark.operators import refine_centroids
+    from deezymatch_spark.operators.knn import coarse_centroids
+
+    emb = _emb(spark, n=500)
+    q = emb.where(F.col("vec_id") < 20)
+    kw = dict(k=5, metric="cosine", q_id="vec_id", q_vec="embedding",
+              c_id="vec_id", c_vec="embedding")
+    exact = {
+        (r.query_id, r.candidate_id)
+        for r in brute_force_topk(q, emb, **kw).collect()
+    }
+
+    def recall(iters):
+        approx = {
+            (r.query_id, r.candidate_id)
+            for r in ivf_topk(
+                q, emb, n_lists=8, n_probe=3, refine_iters=iters, **kw
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, (r0, r2)
+
+    c = emb.select(F.col("vec_id").alias("candidate_id"),
+                   F.col("embedding").alias("_cv"))
+    seed = coarse_centroids(c, "candidate_id", "_cv", 8)
+    ref = refine_centroids(c, "_cv", seed, iters=2, metric="cosine")
+    assert ref != seed
+    for v in ref:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+
+def test_knn_preflight_prices_probe_join_exactly(spark):
+    """knn_preflight's est_pairs must equal the probe join's actual
+    scored-pair volume (pre-window) at the same (n_lists, n_probe) —
+    verified by recomputing assignments directly."""
+    from deezymatch_spark.operators import knn_preflight
+    from deezymatch_spark.operators.knn import (
+        centroid_dist_array,
+        coarse_centroids,
+    )
+    from deezymatch_spark.functions.distances import cosine_dist
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 10)
+    pf = {
+        r.list_id: (r.n_cand, r.n_probing_queries, r.est_pairs)
+        for r in knn_preflight(
+            q, emb, n_lists=4, n_probe=2, metric="cosine",
+            q_id="vec_id", q_vec="embedding", c_id="vec_id", c_vec="embedding",
+        ).collect()
+    }
+    total = pf.pop(-1)
+    assert total[0] == emb.count()                       # every candidate in a list
+    assert total[1] == 2 * q.count()                     # n_probe probes per query
+    assert total[2] == sum(v[2] for v in pf.values())    # rollup is the sum
+    assert all(v[2] == v[0] * v[1] for v in pf.values())
+
+    # actual probe-join volume equals the estimate
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("_cv"))
+    cents = coarse_centroids(c, "cid", "_cv", 4)
+    ca = c.withColumn(
+        "list_id", F.array_min(centroid_dist_array(F.col("_cv"), cents, cosine_dist))["list_id"]
+    )
+    qa = q.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    centroid_dist_array(F.col("embedding"), cents, cosine_dist)
+                ), 1, 2,
+            ).getField("list_id")
+        ).alias("list_id"),
+    )
+    assert qa.join(ca, "list_id").count() == total[2]
+
+
 def test_embedding_dup_pairs_lsh_subset_of_exhaustive(spark):
     emb = _emb(spark)
     exact = {
