@@ -295,6 +295,21 @@ def main() -> None:
             spark.catalog.clearCache()
             extras["pipeline_fs_sec"] = round(el_fs, 3)
             extras["pages_per_sec_fs"] = round(n_pages / el_fs, 1)
+            # r5: downsample cap mode (recall floor for over-cap keys) —
+            # extras only, same rationale; prices what the floor costs
+            # at this scale next to the default drop-cap headline
+            els_ds = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t1 = time.time()
+                run_er_pipeline(
+                    spark, n_pages=n_pages, cap_mode="downsample"
+                ).count()
+                els_ds.append(time.time() - t1)
+            el_ds = min(els_ds)
+            spark.catalog.clearCache()
+            extras["pipeline_downsample_sec"] = round(el_ds, 3)
+            extras["pages_per_sec_downsample"] = round(n_pages / el_ds, 1)
         elif name == "pairwise_scoring":
             n_pairs, el = bench_pairwise_scoring(spark, n_pages)
             extras["pairs_scored"] = n_pairs

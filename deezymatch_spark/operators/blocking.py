@@ -355,7 +355,12 @@ def scored_candidate_pairs(
     with at least one side in the delta. Keys and the hot-key cap are
     still computed over the FULL ``df``, so with no bucket over the cap
     ``old_pairs ∪ delta_pairs == batch pairs`` disjointly (the
-    invariant pipeline.incremental_er relies on). The delta's key rows
+    invariant pipeline.incremental_er relies on). Under
+    ``cap_mode="downsample"`` the same caveat extends to bucket SIZE:
+    the kept subset is a pure function of (id, block_key, block size),
+    so the invariant additionally requires no over-cap bucket to have
+    changed size between the old run and the delta (the drop cap has
+    the same boundary behavior, just at the cap crossing). The delta's key rows
     are broadcast, so the corpus key table never shuffles and no
     salting is needed (a broadcast hash join has no reducer skew).
     """
