@@ -282,6 +282,14 @@ def main() -> None:
             extras["pages"] = n_pages
             extras["pages_per_sec"] = round(n_pages / el, 1)
             extras["pipeline_out_rows"] = n_rows
+            # scaling legs (tools/scaling.py: --only pipeline_entity_
+            # clusters) time ONLY the headline reps: the fs/downsample
+            # extras below would add 4 more full pipeline runs per leg
+            # — at 64M pages x local[2] that alone blows the 2h per-leg
+            # guard (r5 incident: the first 64M row died to it)
+            if args.only:
+                timings[name] = round(el, 3)
+                continue
             # Fellegi-Sunter scorer mode (UDF-free S2+S3): reported as
             # an extra, NOT summed into headline_total, so round-over-
             # round totals stay comparable. Best-of-2 data-cold reps.
