@@ -3460,8 +3460,8 @@ def oracle_sql() -> dict[str, str]:
             select 'pf', list_id, n_cand, nq, cast(n_cand * nq as double)
             from pf
             union all
-            select 'pf', cast(-1 as bigint), sum(n_cand), sum(nq),
-                   cast(sum(n_cand * nq) as double)
+            select 'pf', cast(-1 as bigint), cast(sum(n_cand) as bigint),
+                   cast(sum(nq) as bigint), cast(sum(n_cand * nq) as double)
             from pf""",
         "lsh_ann_topk": f"""
             with c as (select vec_id as cid, embedding as cv from embeddings),
